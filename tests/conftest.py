@@ -1,0 +1,31 @@
+"""Test env: force the CPU backend with 8 virtual devices BEFORE jax import.
+
+Mirrors the reference's single-machine validation (SURVEY.md §4.5): jax's
+CPU backend is the "fake backend" — every jitted program (and the shard_map
+multi-chip path, over the 8 virtual devices) runs in CI without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+from gseg_tpu.config import SegmentationConfig
+from gseg_tpu.utils.synthetic import blobs_image
+
+
+@pytest.fixture(scope="session")
+def small_image():
+    return blobs_image(24, 32, num_blobs=5, noise=6.0, seed=0)
+
+
+@pytest.fixture(scope="session")
+def small_cfg():
+    return SegmentationConfig(sigma=0.8, k=100.0, min_size=8, max_iters=32)
