@@ -162,13 +162,12 @@ def prepare_graph(image: jnp.ndarray, cfg: SegmentationConfig):
     return gg.incident_views(weights)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg",)
-)
-def segment_atomic(image: jnp.ndarray, cfg: SegmentationConfig) -> jnp.ndarray:
-    """Full pipeline: smooth -> implicit graph -> Boruvka-Felzenszwalb ->
+def segment_atomic_impl(image: jnp.ndarray, cfg: SegmentationConfig) -> jnp.ndarray:
+    """Un-jitted pipeline body (for composition under vmap/pjit/shard_map).
+
+    Full pipeline: smooth -> implicit graph -> Boruvka-Felzenszwalb ->
     min-size merge. Returns (H, W) int32 labels (root vertex ids; use
-    utils.labels.compact_labels for consecutive ids).
+    utils.labels.compact_labels_np for consecutive ids).
     """
     h, w = image.shape[0], image.shape[1]
     w8, eid8 = prepare_graph(image, cfg)
@@ -181,6 +180,9 @@ def segment_atomic(image: jnp.ndarray, cfg: SegmentationConfig) -> jnp.ndarray:
             state, w8, eid8, (h, w), cfg.k, cfg.min_size, "minsize", cfg.max_iters
         )
     return state.parent.reshape(h, w)
+
+
+segment_atomic = jax.jit(segment_atomic_impl, static_argnames=("cfg",))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mode", "shape"))

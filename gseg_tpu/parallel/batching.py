@@ -1,0 +1,62 @@
+"""Batch parallelism: vmap over images, optionally sharded over a device mesh.
+
+The reference processes one image at a time (SURVEY.md §2.4 S10: batch
+parallelism absent upstream); on TPU, `jax.vmap` turns every per-image
+pipeline into a batched one for free (BASELINE.json config 5: vmapped 4K
+video frames), and a 1-D device mesh scales the batch across chips over
+ICI/DCN — the data-parallel axis of this workload.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SegmentationConfig
+
+
+def _segment_batch_impl(images: jnp.ndarray, cfg: SegmentationConfig) -> jnp.ndarray:
+    from ..models.atomic_boruvka import segment_atomic_impl
+    from ..models.fastmst import segment_fastmst
+    from ..models.superpixel import segment_superpixel
+
+    fn = {
+        "atomic": segment_atomic_impl,
+        "fastmst": segment_fastmst,
+        "superpixel": segment_superpixel,
+    }[cfg.algorithm]
+    return jax.vmap(lambda im: fn(im, cfg))(images)
+
+
+segment_batch = jax.jit(_segment_batch_impl, static_argnames=("cfg",))
+segment_batch.__doc__ = "(B, H, W, 3) -> (B, H, W) int32 labels, one jitted vmapped program."
+
+
+def data_parallel_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def segment_batch_sharded(
+    images: jnp.ndarray, cfg: SegmentationConfig, mesh: Mesh, axis: str = "data"
+) -> jnp.ndarray:
+    """Data-parallel batched segmentation: batch axis sharded over the mesh.
+
+    Each image stays chip-local, so no cross-chip traffic occurs inside the
+    Boruvka loop — the embarrassingly-parallel scale-out mode (SURVEY.md §5
+    distributed-communication row: DCN only for independent images).
+    """
+    sharding = NamedSharding(mesh, P(axis))
+    images = jax.device_put(images, sharding)
+    out_sharding = NamedSharding(mesh, P(axis))
+    fn = jax.jit(
+        functools.partial(_segment_batch_impl, cfg=cfg),
+        in_shardings=sharding,
+        out_shardings=out_sharding,
+    )
+    return fn(images)

@@ -7,12 +7,19 @@ multi-chip path, over the 8 virtual devices) runs in CI without TPU hardware.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: in this environment the JAX_PLATFORMS env var is overridden by the
+# TPU tunnel plugin; jax.config.update is authoritative (and the legacy
+# JAX_PLATFORM_NAME also works). XLA_FLAGS must still be set pre-import.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
