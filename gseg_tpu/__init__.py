@@ -43,6 +43,11 @@ def segment(image, sigma=0.8, k=300.0, min_size=100, algorithm="atomic",
         sigma=sigma, k=k, min_size=min_size, algorithm=algorithm
     )
     image = np.asarray(image)
+    if cfg.algorithm == "turbo":
+        from .models.turbo import segment_turbo
+        import jax.numpy as jnp
+
+        return segment_turbo(jnp.asarray(image), cfg)
     if cfg.algorithm == "atomic":
         from .models.atomic_boruvka import segment_atomic
         import jax.numpy as jnp

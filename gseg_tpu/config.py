@@ -14,6 +14,7 @@ import dataclasses
 
 
 ALGORITHMS = (
+    "turbo",            # staged gossip + compact-graph path (fastest on TPU)
     "atomic",           # scatter-min Boruvka-Felzenszwalb, on-device while_loop
     "atomic_hostsync",  # same, host-synced convergence flag per iteration
     "fastmst",          # DPP/FastMST path: sort-based segmented min + contraction

@@ -1,0 +1,497 @@
+"""Turbo path: staged gossip + compact-graph Boruvka-Felzenszwalb.
+
+The production TPU path. Produces the same segmentation *partition* as the
+sequential oracle and the atomic/fastmst paths (tests verify this), but is
+engineered around the measured v5e cost model rather than translating the
+reference's CUDA schedule (Report.pdf p.2-3 §3.1):
+
+    random gather/scatter : ~7 ns / index      (XLA serializes them)
+    lax.sort              : ~2 ns / element
+    row-gather (64-wide)  : ~7 ns / row        (payload width ~free)
+    dense (H, W) shifts   : ~0.05 ns / element (VPU streams)
+
+Architecture (SURVEY.md §7 "hard parts" resolved TPU-first):
+
+  STAGE G — gossip rounds while components are small. All per-component
+  reductions are dense 8-neighbor propagations over the pixel grid
+  (components of a grid graph are connected, so flood-fills converge in
+  component-diameter sweeps):
+    - component min edge: lexmin (w, eid) gossip,
+    - merged-cluster labels (canonical min-vertex-id): min-label gossip over
+      same-component + passing-hook adjacency,
+    - Int(C): max-gossip riding the label flood,
+    - |C|: BFS-tree convergecast (dist gossip -> parent dirs -> iterated
+      subtree sums), exact at the canonical root pixel,
+  with zero V-sized gathers or scatters. The number of components drops
+  ~4x per round (measured), so diameters stay small while stage G runs.
+
+  STAGE 2 — compact rounds once the boundary-edge set is small. Live
+  boundary edges are extracted at 64-lane block granularity (row-gathers,
+  not element scatters), then *deduplicated to the minimum edge per
+  component pair* — lossless for Boruvka: only a pair's min edge can ever
+  be selected, and after any merge the min over a merged pair-set is the
+  min of pair minima. Rounds sort the deduped edge list by (component, w,
+  eid) (the DPP schedule, cheap at this size), evaluate the predicate on
+  run heads, hook/flatten on a compacted component list, and relabel.
+  Capacities shrink geometrically across sub-stages. The min-size
+  post-pass runs in the same representation.
+
+  FINAL — one V-gather maps stage-G labels through the stage-2 root map.
+
+Component ids are canonical min-vertex labels throughout; the partition is
+representative-independent (tie-breaks use canonical edge ids; the predicate
+uses size/Int only), which is what makes gossip/compact/atomic/oracle all
+partition-equal.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SegmentationConfig
+from ..ops import filters
+from ..ops import grid_graph as gg
+from ..ops.primitives import INT32_MAX, sparse_select
+
+BIGDIST = jnp.int32(1 << 30)
+
+
+def _shift(x, dy, dx, fill):
+    return gg.shift_plane(x, dy, dx, fill)
+
+
+def _shifts8(x, fill):
+    return [_shift(x, dy, dx, fill) for dy, dx in gg.DIRS8]
+
+
+# ---------------------------------------------------------------------------
+# Stage G: gossip rounds
+# ---------------------------------------------------------------------------
+
+
+class GossipState(NamedTuple):
+    L: jnp.ndarray       # (H, W) int32 canonical labels (min vertex id)
+    S: jnp.ndarray       # (H, W) int32 subtree sums; exact size at root pixel
+    ID: jnp.ndarray      # (H, W) float32 Int(C), replicated
+    merged: jnp.ndarray  # () bool
+    it: jnp.ndarray      # () int32
+
+
+def _vertex_min_outgoing(L, w8, eid8):
+    nbrL = jnp.stack(_shifts8(L, -1))
+    outgoing = nbrL != L[None]
+    w = jnp.where(outgoing, w8, jnp.inf)
+    vminw = jnp.min(w, axis=0)
+    cand = jnp.where(w == vminw[None], eid8, INT32_MAX)
+    veid = jnp.min(cand, axis=0)
+    veid = jnp.where(jnp.isfinite(vminw), veid, INT32_MAX)
+    return vminw, veid, nbrL
+
+
+def _compmin_gossip(L, bw, be, sz, max_sweeps):
+    """Lexmin (bw, be) + max (sz) propagation among same-L neighbors."""
+    def sweep(st):
+        bw, be, sz, _, i = st
+        nL = _shifts8(L, -1)
+        nbw = _shifts8(bw, jnp.inf)
+        nbe = _shifts8(be, INT32_MAX)
+        nsz = _shifts8(sz, 0)
+        bw0, be0, sz0 = bw, be, sz
+        for d in range(8):
+            same = nL[d] == L
+            take = same & ((nbw[d] < bw) | ((nbw[d] == bw) & (nbe[d] < be)))
+            bw = jnp.where(take, nbw[d], bw)
+            be = jnp.where(take, nbe[d], be)
+            sz = jnp.where(same & (nsz[d] > sz), nsz[d], sz)
+        changed = jnp.any((bw0 != bw) | (be0 != be) | (sz0 != sz))
+        return bw, be, sz, changed, i + jnp.int32(1)
+
+    st = (bw, be, sz, jnp.bool_(True), jnp.int32(0))
+    st = jax.lax.while_loop(lambda s: s[3] & (s[4] < max_sweeps), sweep, st)
+    return st[0], st[1], st[2]
+
+
+def _label_gossip(L, allow8, idf, max_sweeps):
+    """Min-label flood over allowed adjacency; Int max-gossip rides along."""
+    def sweep(st):
+        Lc, idf, _, i = st
+        nL = _shifts8(Lc, INT32_MAX)
+        nid = _shifts8(idf, 0.0)
+        L0, id0 = Lc, idf
+        for d in range(8):
+            Lc = jnp.where(allow8[d] & (nL[d] < Lc), nL[d], Lc)
+            idf = jnp.where(allow8[d] & (nid[d] > idf), nid[d], idf)
+        changed = jnp.any((L0 != Lc) | (id0 != idf))
+        return Lc, idf, changed, i + jnp.int32(1)
+
+    st = (L, idf, jnp.bool_(True), jnp.int32(0))
+    st = jax.lax.while_loop(lambda s: s[2] & (s[3] < max_sweeps), sweep, st)
+    return st[0], st[1]
+
+
+def _size_convergecast(L, vid, max_sweeps):
+    """Exact component pixel-count at the canonical root pixel.
+
+    dist-gossip (BFS levels from the root) -> parent directions -> iterated
+    subtree sums. s(root) converges to |C| in tree-depth sweeps; all dense.
+    """
+    h, w = L.shape
+
+    dist = jnp.where(L == vid, jnp.int32(0), BIGDIST)
+
+    def dsweep(st):
+        dist, _, i = st
+        nL = _shifts8(L, -1)
+        nd = _shifts8(dist, BIGDIST)
+        d0 = dist
+        for d in range(8):
+            cand = jnp.where(nd[d] >= BIGDIST, BIGDIST, nd[d] + 1)
+            dist = jnp.where((nL[d] == L) & (cand < dist), cand, dist)
+        return dist, jnp.any(d0 != dist), i + jnp.int32(1)
+
+    dist, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < max_sweeps), dsweep,
+        (dist, jnp.bool_(True), jnp.int32(0)),
+    )
+
+    # parent dir: first dir whose same-L neighbor has dist == mine - 1.
+    nL = _shifts8(L, -1)
+    nd = _shifts8(dist, BIGDIST)
+    pdir = jnp.full((h, w), jnp.int32(8))  # 8 = root / none
+    for d in range(7, -1, -1):
+        ok = (nL[d] == L) & (nd[d] == dist - 1) & (dist > 0) & (dist < BIGDIST)
+        pdir = jnp.where(ok, jnp.int32(d), pdir)
+
+    # iterated subtree sums: s <- 1 + sum over children.
+    rev = [4, 5, 6, 7, 0, 1, 2, 3]  # reverse direction index
+
+    def ssweep(st):
+        s, _, i = st
+        ns = _shifts8(s, 0)
+        npd = _shifts8(pdir, 8)
+        total = jnp.ones_like(s)
+        for d in range(8):
+            child = npd[d] == rev[d]
+            total = total + jnp.where(child, ns[d], 0)
+        return total, jnp.any(total != s), i + jnp.int32(1)
+
+    s0 = jnp.ones((h, w), jnp.int32)
+    s, _, _ = jax.lax.while_loop(
+        lambda st: st[1] & (st[2] < max_sweeps), ssweep,
+        (s0, jnp.bool_(True), jnp.int32(0)),
+    )
+    return s
+
+
+def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps):
+    L, S, ID = state.L, state.S, state.ID
+
+    vminw, veid, nbrL = _vertex_min_outgoing(L, w8, eid8)
+    cw, ce, SZ = _compmin_gossip(L, vminw, veid, S, max_sweeps)
+
+    if mode == "felz":
+        thr = ID + jnp.float32(k) / SZ.astype(jnp.float32)
+        thr8 = jnp.stack(_shifts8(thr, jnp.inf))
+        my_ok = cw <= thr
+    else:  # minsize
+        thr8 = None
+        my_ok = SZ < min_size
+
+    owner8 = (nbrL != L[None]) & (w8 == cw[None]) & (eid8 == ce[None])
+    if mode == "felz":
+        pass8 = owner8 & my_ok[None] & (cw[None] <= thr8)
+    else:
+        pass8 = owner8 & my_ok[None]
+
+    new_marks = []
+    for dc, (dy, dx) in enumerate(gg.DIRS4):
+        m = pass8[dc] | _shift(pass8[dc + 4], dy, dx, False)
+        new_marks.append(m)
+    new_mark4 = jnp.stack(new_marks)
+    merged = jnp.any(new_mark4)
+
+    allow = []
+    for d in range(8):
+        if d < 4:
+            am = new_mark4[d]
+        else:
+            dy, dx = gg.DIRS4[d - 4]
+            am = _shift(new_mark4[d - 4], -dy, -dx, False)
+        allow.append((nbrL[d] == L) | am)
+    allow8 = jnp.stack(allow)
+
+    hook8 = allow8 & (nbrL != L[None])
+    used_w8 = jnp.where(hook8, jnp.where(jnp.isfinite(w8), w8, 0.0), 0.0)
+    id_init = jnp.maximum(ID, jnp.max(used_w8, axis=0))
+    Lnew, IDnew = _label_gossip(L, allow8, id_init, max_sweeps)
+
+    Snew = _size_convergecast(Lnew, vid, max_sweeps)
+
+    return GossipState(
+        L=Lnew, S=Snew, ID=IDnew, merged=merged, it=state.it + jnp.int32(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: compact rounds
+# ---------------------------------------------------------------------------
+
+
+class CompactState(NamedTuple):
+    esrc: jnp.ndarray   # (E,) int32 current comp label of endpoint a
+    edst: jnp.ndarray   # (E,) int32
+    ew: jnp.ndarray     # (E,) float32 (+inf dead)
+    eeid: jnp.ndarray   # (E,) int32 canonical edge id (global tie-break)
+    SZf: jnp.ndarray    # (V,) int32 sizes at root slots
+    IDf: jnp.ndarray    # (V,) float32 Int at root slots
+    fin: jnp.ndarray    # (C,) int32 current root of each initial root
+    merged: jnp.ndarray
+    it: jnp.ndarray
+
+
+def _select_compact(mask, keys, cap):
+    """Move masked entries to the front (stable) and slice to `cap`.
+
+    Heads after a segmented sort sit ~one per run — too dense for block
+    compaction — so compact with one more sort on (dead, position): sorts
+    are ~2 ns/element on TPU vs ~7 ns/lane for scatters.
+    Returns (out_mask (cap,), [outs], overflow).
+    """
+    n = mask.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    dead = jnp.where(mask, jnp.int32(0), jnp.int32(1))
+    out = jax.lax.sort((dead, pos) + tuple(keys), num_keys=2)
+    live_total = jnp.sum(mask.astype(jnp.int32))
+    outs = [o[:cap] for o in out[2:]]
+    out_mask = out[0][:cap] == 0
+    return out_mask, outs, live_total > cap
+
+
+def _pair_dedup(esrc, edst, ew, eid, cap):
+    """Keep only the min (w, eid) edge per directed (src, dst) pair.
+
+    Lossless for Boruvka (see module docstring). Orders pairs by
+    (src, dst, w, eid); pair-run heads survive. Returns arrays of size cap.
+    """
+    live = (esrc != edst) & jnp.isfinite(ew)
+    k1 = jnp.where(live, esrc, INT32_MAX)
+    k2 = jnp.where(live, edst, INT32_MAX)
+    s1, s2, sw, se = jax.lax.sort((k1, k2, ew, eid), num_keys=4)
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])]
+    ) & (s1 != INT32_MAX)
+    m, (o1, o2, ow, oe), ovf = _select_compact(head, [s1, s2, sw, se], cap)
+    o1 = jnp.where(m, o1, 0)
+    o2 = jnp.where(m, o2, 0)
+    ow = jnp.where(m, ow, jnp.inf)
+    return o1, o2, ow, oe, ovf
+
+
+def _s2_round(st: CompactState, v, comp_cap, k, min_size, mode):
+    esrc, edst, ew = st.esrc, st.edst, st.ew
+    live = (esrc != edst) & jnp.isfinite(ew)
+    k1 = jnp.where(live, esrc, INT32_MAX)
+    kw = jnp.where(live, ew, jnp.inf)
+    s_src, s_w, s_eid, s_dst = jax.lax.sort(
+        (k1, kw, st.eeid, edst), num_keys=3
+    )
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), s_src[1:] != s_src[:-1]]
+    ) & (s_src != INT32_MAX)
+
+    hm, (hsrc, hw, hdst), _ = _select_compact(
+        head, [s_src, s_w, s_dst], comp_cap
+    )
+
+    if mode == "felz":
+        thr_s = st.IDf[hsrc] + jnp.float32(k) / st.SZf[hsrc].astype(jnp.float32)
+        thr_d = st.IDf[hdst] + jnp.float32(k) / st.SZf[hdst].astype(jnp.float32)
+        ok = (hw <= thr_s) & (hw <= thr_d)
+    else:
+        ok = st.SZf[hsrc] < min_size
+    hook = hm & ok
+
+    succ = jnp.where(hook, hdst, hsrc)
+    hsrc_safe = jnp.where(hm, hsrc, v)
+    iota = jnp.arange(v, dtype=jnp.int32)
+    S = iota.at[hsrc_safe].set(succ, mode="drop")
+    s2 = S[succ]
+    mutual = (s2 == hsrc) & (succ != hsrc)
+    succ = jnp.where(mutual & (hsrc < succ), hsrc, succ)
+    S = iota.at[hsrc_safe].set(succ, mode="drop")
+    changed = hm & (succ != hsrc)
+
+    def dcond(c):
+        return c[1] & (c[2] < 16)
+
+    def dbody(c):
+        nr, _, i = c
+        nr2 = S[nr]
+        return nr2, jnp.any(nr2 != nr), i + jnp.int32(1)
+
+    nr, _, _ = jax.lax.while_loop(
+        dcond, dbody, (succ, jnp.bool_(True), jnp.int32(0))
+    )
+
+    # canonical min-vertex representative: nr already IS the min? No — the
+    # hook sink. Relabel cluster to min member root for canonical labels:
+    # min over {c : nr(c) == r}: scatter-min member ids keyed by sink.
+    canon = jnp.full((v,), INT32_MAX, jnp.int32).at[
+        jnp.where(hm, nr, v)
+    ].min(jnp.where(hm, hsrc, INT32_MAX), mode="drop")
+    nr_canon = jnp.where(hm, canon[nr], hsrc)
+    changed = hm & (nr_canon != hsrc)
+
+    M = iota.at[hsrc_safe].set(nr_canon, mode="drop")
+
+    tgt = jnp.where(changed, nr_canon, v)
+    SZf = st.SZf.at[tgt].add(jnp.where(changed, st.SZf[hsrc], 0), mode="drop")
+    IDf = st.IDf.at[tgt].max(jnp.where(changed, st.IDf[hsrc], 0.0), mode="drop")
+    # used hook edges contribute their weight to the new root's Int.
+    used = hm & (succ != hsrc)
+    tgt_u = jnp.where(used, nr_canon, v)
+    IDf = IDf.at[tgt_u].max(jnp.where(used, hw, 0.0), mode="drop")
+
+    esrc = M[esrc]
+    edst = M[edst]
+    fin = M[st.fin]
+
+    return CompactState(
+        esrc=esrc, edst=edst, ew=st.ew, eeid=st.eeid, SZf=SZf, IDf=IDf,
+        fin=fin, merged=jnp.any(changed), it=st.it + jnp.int32(1),
+    )
+
+
+def _s2_phase(st: CompactState, v, comp_cap, k, min_size, mode, max_iters):
+    def cond(s):
+        return s.merged & (s.it < max_iters)
+
+    def body(s):
+        return _s2_round(s, v, comp_cap, k, min_size, mode)
+
+    st = st._replace(merged=jnp.bool_(True), it=jnp.int32(0))
+    return jax.lax.while_loop(cond, body, st)
+
+
+def _recompact_edges(st: CompactState, cap):
+    """Dedup + shrink the edge buffers to a smaller capacity."""
+    o1, o2, ow, oe, ovf = _pair_dedup(st.esrc, st.edst, st.ew, st.eeid, cap)
+    return st._replace(esrc=o1, edst=o2, ew=ow, eeid=oe), ovf
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+
+def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
+                       gossip_rounds: int = 4) -> jnp.ndarray:
+    """(H, W, 3) -> (H, W) int32 canonical (min-vertex-id) labels."""
+    h, w = image.shape[0], image.shape[1]
+    v = h * w
+    max_sweeps = 4 * (h + w)
+
+    smoothed = filters.gaussian_smooth(image, cfg.sigma)
+    weights, valid = gg.edge_weight_planes(
+        smoothed, cfg.connectivity, cfg.quantize_weight_bits
+    )
+    w8, eid8 = gg.incident_views(weights)
+    vid = jnp.arange(v, dtype=jnp.int32).reshape(h, w)
+
+    # ---- stage G
+    gst = GossipState(
+        L=vid, S=jnp.ones((h, w), jnp.int32), ID=jnp.zeros((h, w), jnp.float32),
+        merged=jnp.bool_(True), it=jnp.int32(0),
+    )
+
+    def gcond(s):
+        # run at least `gossip_rounds`, then keep gossiping until stage-2
+        # capacities are safe: component count small AND live boundary-edge
+        # count within the (deduped) pair capacity with headroom.
+        # measured: deduped pair count ~ 3.5x component count, so
+        # C <= V/256 keeps pairs well under the V/32 pair capacity.
+        c = jnp.sum((s.L == vid).astype(jnp.int32))
+        return s.merged & ((s.it < gossip_rounds) | (c > v // 256))
+
+    def gbody(s):
+        return _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps)
+
+    gst = jax.lax.while_loop(gcond, gbody, gst)
+
+    # ---- extraction: live canonical edges -> deduped directed edge list.
+    # Endpoint labels come from dense shifted planes (no V-sized gathers);
+    # flattening in (vertex, dir) interleave keeps position == canonical eid.
+    # One sort by (min-label, max-label, w, eid) over all 4V slots both
+    # extracts the live boundary edges and deduplicates each unordered
+    # component pair down to its minimum edge — lossless for Boruvka.
+    Lf = gst.L.reshape(-1)
+    ew4 = jnp.stack([weights[d] for d in range(4)], axis=-1).reshape(-1)
+    la = jnp.stack([gst.L] * 4, axis=-1).reshape(-1)
+    lb = jnp.stack(
+        [_shift(gst.L, dy, dx, -1) for dy, dx in gg.DIRS4], axis=-1
+    ).reshape(-1)
+    eid4 = jnp.arange(4 * v, dtype=jnp.int32)
+    live4 = jnp.isfinite(ew4) & (la != lb) & (lb >= 0)
+    lo = jnp.where(live4, jnp.minimum(la, lb), INT32_MAX)
+    hi = jnp.where(live4, jnp.maximum(la, lb), INT32_MAX)
+    s_lo, s_hi, s_w, s_eid = jax.lax.sort((lo, hi, ew4, eid4), num_keys=4)
+    phead = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         (s_lo[1:] != s_lo[:-1]) | (s_hi[1:] != s_hi[:-1])]
+    ) & (s_lo != INT32_MAX)
+    pair_cap = max(v // 32, 16384)
+    pm, (plo, phi, pw, pe), _ = sparse_select(
+        phead, [s_lo, s_hi, s_w, s_eid], pair_cap
+    )
+    plo = jnp.where(pm, plo, 0)
+    phi = jnp.where(pm, phi, 0)
+    pw = jnp.where(pm, pw, jnp.inf)
+    # both orientations (each component must see its outgoing edges).
+    esrc = jnp.concatenate([plo, phi])
+    edst = jnp.concatenate([phi, plo])
+    ew = jnp.concatenate([pw, pw])
+    eeid = jnp.concatenate([pe, pe])
+
+    # ---- initial-root list for the final map: every component with at
+    # least one live edge (components without live edges can never merge in
+    # stage 2, so identity entries in the final map are correct for them).
+    comp_cap = max(v // 64, 16384)
+    srt_src = jax.lax.sort((jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),))[0]
+    rhead = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), srt_src[1:] != srt_src[:-1]]
+    ) & (srt_src != INT32_MAX)
+    rm, (r0_arr,), _ = _select_compact(rhead, [srt_src], comp_cap)
+    r0 = jnp.where(rm, r0_arr, v)  # v = dummy (dropped in scatters)
+
+    st = CompactState(
+        esrc=esrc, edst=edst, ew=ew, eeid=eeid,
+        SZf=gst.S.reshape(-1), IDf=gst.ID.reshape(-1),
+        fin=jnp.where(rm, r0_arr, 0),
+        merged=jnp.bool_(True), it=jnp.int32(0),
+    )
+
+    # felz rounds at full capacity, then shrink twice, then finish.
+    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, "felz", 2)
+    st, _ = _recompact_edges(st, max(v // 64, 16384))
+    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, "felz", 2)
+    st, _ = _recompact_edges(st, max(v // 128, 16384))
+    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, "felz", cfg.max_iters)
+    if cfg.min_size > 1:
+        st = _s2_phase(
+            st, v, comp_cap, cfg.k, cfg.min_size, "minsize", cfg.max_iters
+        )
+
+    # ---- final labels: stage-G labels through the stage-2 root map.
+    P = jnp.arange(v, dtype=jnp.int32).at[jnp.where(rm, r0, v)].set(
+        st.fin, mode="drop"
+    )
+    return P[Lf].reshape(h, w)
+
+
+segment_turbo = jax.jit(
+    segment_turbo_impl, static_argnames=("cfg", "gossip_rounds")
+)

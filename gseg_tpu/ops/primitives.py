@@ -101,6 +101,70 @@ def segment_max(
     return out.at[seg].max(values, mode="drop")
 
 
+def block_compact(mask, arrays, out_elems: int, block: int = 64):
+    """Stream compaction at `block`-lane granularity (TPU-fast extraction).
+
+    Element scatters cost ~7 ns/lane on TPU, but row-gathers of >=64-wide
+    rows cost ~7 ns/ROW — so compaction is done per 64-lane window: windows
+    containing any live element are moved wholesale via one row-gather;
+    dead lanes stay masked. This replaces the reference's atomicAdd stream
+    compaction (Report.pdf Appendix A Alg. 3) with O(N/64) scatter lanes +
+    O(out) row-gather traffic.
+
+    mask: (N,) bool. arrays: list of (N,) payloads. out_elems: output
+    capacity in elements (multiple of `block`).
+    Returns (out_mask (out_elems,), outs [same dtypes], overflow ()bool).
+    Live windows beyond capacity are dropped and flagged via `overflow`.
+    """
+    n = mask.shape[0]
+    pad = (-n) % block
+    if pad:
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), jnp.bool_)])
+        arrays = [
+            jnp.concatenate([a, jnp.zeros((pad,), a.dtype)]) for a in arrays
+        ]
+    nb = (n + pad) // block
+    out_rows = out_elems // block
+    m2 = mask.reshape(nb, block)
+    win = jnp.any(m2, axis=1)
+    pos = jnp.cumsum(win.astype(jnp.int32)) - 1
+    slot = jnp.where(win, pos, out_rows)
+    widx = jnp.full((out_rows,), nb, dtype=jnp.int32)
+    widx = widx.at[slot].set(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop"
+    )
+    overflow = jnp.sum(win.astype(jnp.int32)) > out_rows
+    outs = []
+    for a in arrays:
+        a2 = jnp.concatenate(
+            [a.reshape(nb, block), jnp.zeros((1, block), a.dtype)]
+        )
+        outs.append(a2[widx].reshape(-1))
+    m3 = jnp.concatenate([m2, jnp.zeros((1, block), jnp.bool_)])[widx]
+    return m3.reshape(-1), outs, overflow
+
+
+def sparse_select(mask, arrays, cap: int):
+    """Compact a SPARSE mask's elements to the front of `cap`-sized buffers.
+
+    cumsum + vectorized binary search (jnp.searchsorted over the running
+    count) + per-hit element gathers: O(N) dense work + O(cap * log N)
+    gather lanes. Beats a full N-element sort when cap << N (e.g. selecting
+    ~50k pair heads out of 8M edge slots). Stable (preserves input order).
+
+    Returns (out_mask (cap,), outs, overflow).
+    """
+    n = mask.shape[0]
+    counts = jnp.cumsum(mask.astype(jnp.int32))
+    total = counts[-1]
+    ranks = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    pos = jnp.searchsorted(counts, ranks, side="left").astype(jnp.int32)
+    valid = ranks <= total
+    pos_safe = jnp.where(valid, pos, 0)
+    outs = [jnp.where(valid, a[pos_safe], 0).astype(a.dtype) for a in arrays]
+    return valid, outs, total > cap
+
+
 def compact_indices(mask: jnp.ndarray, capacity: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stable compaction: indices of True entries, padded to `capacity`.
 

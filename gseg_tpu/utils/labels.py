@@ -24,6 +24,21 @@ def num_components(labels) -> int:
     return int(np.unique(np.asarray(labels)).size)
 
 
+def canonical_min_labels_np(labels: np.ndarray) -> np.ndarray:
+    """Relabel each class by its minimum member vertex id (flat index).
+
+    The canonical partition representation: two label maps describe the same
+    segmentation iff their canonical forms are equal. Used to compare
+    union-find-rooted paths (atomic/fastmst/oracle) against the gossip turbo
+    path, whose labels are min-vertex ids natively.
+    """
+    flat = np.asarray(labels).ravel()
+    uniq, inv = np.unique(flat, return_inverse=True)
+    minid = np.full(uniq.shape, np.iinfo(np.int64).max)
+    np.minimum.at(minid, inv, np.arange(flat.size))
+    return minid[inv].reshape(np.asarray(labels).shape).astype(np.int32)
+
+
 def colorize(labels: jnp.ndarray, seed: int = 0) -> jnp.ndarray:
     """(H, W) int labels (root vertex ids in [0, H*W)) -> (H, W, 3) uint8.
 

@@ -1,0 +1,65 @@
+"""Turbo path (staged gossip + compact rounds) vs sequential oracle.
+
+Turbo uses canonical min-vertex-id labels, so equivalence is checked on the
+canonical partition (representative-independent), unlike the atomic path's
+exact root-id equality."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gseg_tpu.config import SegmentationConfig
+from gseg_tpu.models.boruvka_cpu import segment_boruvka_np
+from gseg_tpu.models.turbo import segment_turbo
+from gseg_tpu.utils.labels import canonical_min_labels_np, num_components
+from gseg_tpu.utils.synthetic import blobs_image, checkerboard_image, gradient_image
+
+
+CASES = [
+    dict(h=24, w=32, k=100.0, min_size=8, connectivity=8, seed=0),
+    dict(h=33, w=17, k=300.0, min_size=20, connectivity=8, seed=1),
+    dict(h=16, w=16, k=50.0, min_size=1, connectivity=4, seed=2),
+    dict(h=1, w=37, k=100.0, min_size=5, connectivity=8, seed=3),
+    dict(h=64, w=64, k=200.0, min_size=30, connectivity=8, seed=4),
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_partition_matches_oracle(case):
+    cfg = SegmentationConfig(
+        k=case["k"], min_size=case["min_size"], connectivity=case["connectivity"]
+    )
+    img = blobs_image(case["h"], case["w"], 5, 6.0, case["seed"])
+    expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
+    got = np.asarray(segment_turbo(jnp.asarray(img), cfg))
+    assert np.array_equal(expected, got)
+
+
+@pytest.mark.parametrize("gossip_rounds", [1, 2, 6])
+def test_gossip_stage2_split_invariant(gossip_rounds):
+    """The partition must not depend on where gossip hands off to stage 2."""
+    cfg = SegmentationConfig(k=100.0, min_size=8)
+    img = blobs_image(24, 32, 5, 6.0, 1)
+    expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
+    got = np.asarray(
+        segment_turbo(jnp.asarray(img), cfg, gossip_rounds=gossip_rounds)
+    )
+    assert np.array_equal(expected, got)
+
+
+def test_labels_are_canonical_min_ids(small_image, small_cfg):
+    labels = np.asarray(segment_turbo(jnp.asarray(small_image), small_cfg))
+    assert np.array_equal(labels, canonical_min_labels_np(labels))
+
+
+def test_special_images():
+    grad = gradient_image(20, 20)
+    cfg = SegmentationConfig(k=2000.0, min_size=1, sigma=0.4)
+    assert num_components(np.asarray(segment_turbo(jnp.asarray(grad), cfg))) == 1
+    chk = checkerboard_image(24, 24, cell=6)
+    cfg = SegmentationConfig(sigma=0.1, k=5.0, min_size=1)
+    labels = np.asarray(segment_turbo(jnp.asarray(chk), cfg))
+    for y in range(0, 24, 6):
+        for x in range(0, 24, 6):
+            assert np.unique(labels[y : y + 6, x : x + 6]).size == 1
