@@ -388,21 +388,19 @@ def _recompact_edges(st: CompactState, cap):
 # ---------------------------------------------------------------------------
 
 
-def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
-                       gossip_rounds: int = 4) -> jnp.ndarray:
-    """(H, W, 3) -> (H, W) int32 canonical (min-vertex-id) labels."""
+def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
+    """Smoothing + implicit graph + gossip rounds; returns (state, weights)."""
     h, w = image.shape[0], image.shape[1]
     v = h * w
     max_sweeps = 4 * (h + w)
 
     smoothed = filters.gaussian_smooth(image, cfg.sigma)
-    weights, valid = gg.edge_weight_planes(
+    weights, _ = gg.edge_weight_planes(
         smoothed, cfg.connectivity, cfg.quantize_weight_bits
     )
     w8, eid8 = gg.incident_views(weights)
     vid = jnp.arange(v, dtype=jnp.int32).reshape(h, w)
 
-    # ---- stage G
     gst = GossipState(
         L=vid, S=jnp.ones((h, w), jnp.int32), ID=jnp.zeros((h, w), jnp.float32),
         merged=jnp.bool_(True), it=jnp.int32(0),
@@ -410,17 +408,24 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
 
     def gcond(s):
         # run at least `gossip_rounds`, then keep gossiping until stage-2
-        # capacities are safe: component count small AND live boundary-edge
-        # count within the (deduped) pair capacity with headroom.
-        # measured: deduped pair count ~ 3.5x component count, so
-        # C <= V/256 keeps pairs well under the V/32 pair capacity.
+        # capacities are safe (measured: deduped pair count ~ 3.5x component
+        # count, so C <= V/128 keeps pairs under the V/32 pair capacity).
         c = jnp.sum((s.L == vid).astype(jnp.int32))
-        return s.merged & ((s.it < gossip_rounds) | (c > v // 256))
+        return s.merged & ((s.it < gossip_rounds) | (c > v // 128))
 
     def gbody(s):
         return _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps)
 
-    gst = jax.lax.while_loop(gcond, gbody, gst)
+    return jax.lax.while_loop(gcond, gbody, gst), weights
+
+
+def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
+                       gossip_rounds: int = 4) -> jnp.ndarray:
+    """(H, W, 3) -> (H, W) int32 canonical (min-vertex-id) labels."""
+    h, w = image.shape[0], image.shape[1]
+    v = h * w
+
+    gst, weights = _stage_g(image, cfg, gossip_rounds)
 
     # ---- extraction: live canonical edges -> deduped directed edge list.
     # Endpoint labels come from dense shifted planes (no V-sized gathers);
@@ -459,7 +464,7 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
     # ---- initial-root list for the final map: every component with at
     # least one live edge (components without live edges can never merge in
     # stage 2, so identity entries in the final map are correct for them).
-    comp_cap = max(v // 64, 16384)
+    comp_cap = max(v // 96, 16384)
     srt_src = jax.lax.sort((jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),))[0]
     rhead = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), srt_src[1:] != srt_src[:-1]]
@@ -474,11 +479,14 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
         merged=jnp.bool_(True), it=jnp.int32(0),
     )
 
-    # felz rounds at full capacity, then shrink twice, then finish.
+    # NOTE: live head/pair counts do NOT shrink with felz convergence
+    # (non-merging components keep live boundary edges and stay heads every
+    # round), so the component capacity must hold the stage-entry bound
+    # (C <= V/128 by the gossip gate) throughout. Edge pairs DO shrink
+    # monotonically under merges, so one recompact after the first rounds
+    # is safe with 2x headroom.
     st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, "felz", 2)
     st, _ = _recompact_edges(st, max(v // 64, 16384))
-    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, "felz", 2)
-    st, _ = _recompact_edges(st, max(v // 128, 16384))
     st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, "felz", cfg.max_iters)
     if cfg.min_size > 1:
         st = _s2_phase(

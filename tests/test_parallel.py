@@ -1,0 +1,66 @@
+"""Multi-device parallel layer on the 8-virtual-CPU-device mesh
+(SURVEY.md §2.4 S10/S11: vmap batching + spatial sharding)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gseg_tpu.config import SegmentationConfig
+from gseg_tpu.models.atomic_boruvka import segment_atomic
+from gseg_tpu.parallel.batching import (
+    data_parallel_mesh,
+    segment_batch,
+    segment_batch_sharded,
+)
+from gseg_tpu.parallel.spatial import multichip_step, segment_spatial, spatial_mesh
+from gseg_tpu.utils.synthetic import blobs_image
+
+needs_devices = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return SegmentationConfig(k=120.0, min_size=4, max_iters=16)
+
+
+def test_segment_batch(cfg):
+    imgs = np.stack([blobs_image(16, 24, 4, 5.0, s) for s in range(2)])
+    out = np.asarray(segment_batch(jnp.asarray(imgs), cfg))
+    assert out.shape == (2, 16, 24)
+    single = np.asarray(segment_atomic(jnp.asarray(imgs[0]), cfg))
+    assert np.array_equal(out[0], single)
+
+
+@needs_devices
+def test_segment_batch_sharded(cfg):
+    mesh = data_parallel_mesh(jax.devices()[:8])
+    imgs = np.stack([blobs_image(16, 24, 4, 5.0, s) for s in range(8)])
+    out = np.asarray(segment_batch_sharded(jnp.asarray(imgs), cfg, mesh))
+    single = np.asarray(segment_atomic(jnp.asarray(imgs[3]), cfg))
+    assert np.array_equal(out[3], single)
+
+
+@needs_devices
+def test_segment_spatial_matches_single_device(cfg):
+    mesh = spatial_mesh(jax.devices()[:4])
+    img = blobs_image(32, 24, 4, 5.0, 0)
+    out = np.asarray(segment_spatial(jnp.asarray(img), cfg, mesh))
+    single = np.asarray(segment_atomic(jnp.asarray(img), cfg))
+    assert np.array_equal(out, single)
+
+
+@needs_devices
+def test_multichip_step_2d_mesh(cfg):
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    mesh = Mesh(_np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "space"))
+    imgs = np.stack([blobs_image(16, 24, 4, 5.0, s) for s in range(4)])
+    out = np.asarray(multichip_step(jnp.asarray(imgs), cfg, mesh))
+    assert out.shape == (4, 16, 24)
+    single = np.asarray(segment_atomic(jnp.asarray(imgs[1]), cfg))
+    assert np.array_equal(out[1], single)
