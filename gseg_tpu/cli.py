@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-iters", type=int, default=32)
     p.add_argument("--connectivity", type=int, default=8, choices=(4, 8))
     p.add_argument("--quantize-weight-bits", type=int, default=0)
+    p.add_argument("--weight-buckets", type=int, default=0,
+                   help="quality mode: ramp edge eligibility through N "
+                        "weight-quantile buckets (Kruskal-like ordering; "
+                        "8 recovers CPU-baseline ASA)")
     p.add_argument("--hierarchy-level", type=int, default=0,
                    help="render this Boruvka-round level instead of the final map")
     p.add_argument("--hierarchy-dir", default=None,
@@ -71,6 +75,7 @@ def main(argv=None) -> int:
         connectivity=args.connectivity,
         quantize_weight_bits=args.quantize_weight_bits,
         hierarchy_levels=args.hierarchy_level,
+        weight_buckets=args.weight_buckets,
     )
 
     t0 = time.perf_counter()

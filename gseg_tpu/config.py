@@ -46,6 +46,13 @@ class SegmentationConfig:
                 reference-style quantization for validation.
     connectivity: 8 (reference default: E,S,SE,NE canonical undirected dirs)
                 or 4 (E,S).
+    weight_buckets: 0 = plain Boruvka rounds (reference semantics). N > 0
+                enables quality mode: edge eligibility ramps through N
+                weight-quantile buckets (advance on convergence within a
+                bucket), approximating Kruskal's sorted-order predicate
+                evaluation while staying data-parallel — this closes most of
+                the Boruvka-vs-Kruskal ASA gap that the reference accepted
+                (Fig. 4: GPU ASA 0.905 vs CPU 0.974).
     """
 
     sigma: float = 0.8
@@ -56,6 +63,7 @@ class SegmentationConfig:
     hierarchy_levels: int = 0
     quantize_weight_bits: int = 0
     connectivity: int = 8
+    weight_buckets: int = 0
 
     def __post_init__(self):
         if self.algorithm not in ALGORITHMS:

@@ -73,6 +73,28 @@ def edge_weight_planes_np(img: np.ndarray, connectivity: int = 8,
     return weights, valid
 
 
+def bucket_thresholds_np(weights: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Weight-quantile bucket thresholds for quality mode.
+
+    Deterministic stride sample of the eid-ordered weight planes (identical
+    arithmetic in the NumPy oracle and the jnp paths so bucketed runs stay
+    partition-comparable). Threshold b = the ((b+1)/N)-quantile of finite
+    sampled weights; the last threshold is +inf.
+    """
+    flat = np.asarray(weights).transpose(1, 2, 0).reshape(-1)  # eid order
+    stride = max(flat.size // 65536, 1)
+    sample = flat[::stride][:65536].astype(np.float32)
+    sample = np.where(np.isfinite(sample), sample, np.float32(np.inf))
+    sample = np.sort(sample)
+    n_fin = int(np.isfinite(sample).sum())
+    out = np.full(num_buckets, np.inf, dtype=np.float32)
+    for b in range(num_buckets - 1):
+        idx = min(max(((b + 1) * n_fin) // num_buckets - 1, 0),
+                  max(n_fin - 1, 0))
+        out[b] = sample[idx] if n_fin else np.float32(np.inf)
+    return out
+
+
 def _edge_arrays(weights, valid, w):
     """Flatten canonical planes to edge arrays indexed by eid = anchor*4+d."""
     h = weights.shape[1]
@@ -121,11 +143,23 @@ def segment_boruvka_np(
                 return p
             p = p2
 
+    if cfg.weight_buckets > 0:
+        thresholds = bucket_thresholds_np(weights, cfg.weight_buckets)
+    else:
+        thresholds = np.array([np.inf], dtype=np.float32)
+
     def one_phase(mode, parent, size, intdiff):
-        for _ in range(cfg.max_iters):
+        # quality mode: the weight cap advances one quantile bucket per
+        # ROUND (not per convergence) — same ASA recovery at ~no extra
+        # rounds (see tests); identical rule in models/turbo.py.
+        bucket = 0
+        max_rounds = cfg.max_iters + len(thresholds)
+        for _ in range(max_rounds):
+            tau = (thresholds[min(bucket, len(thresholds) - 1)]
+                   if mode == "felz" else np.float32(np.inf))
             ra, rb = parent[ea], parent[eb]
-            out = ra != rb
-            # per-component min outgoing edge, ties -> min canonical eid
+            out = (ra != rb) & (ew <= tau)
+            # per-component min eligible outgoing edge, ties -> min eid
             comp_minw = np.full(v, np.inf, dtype=np.float32)
             np.minimum.at(comp_minw, ra[out], ew[out])
             np.minimum.at(comp_minw, rb[out], ew[out])
@@ -159,7 +193,11 @@ def segment_boruvka_np(
             mutual = (succ[succ] == idx) & (succ != idx)
             succ = np.where(mutual & (idx < succ), idx, succ)
             used = succ != idx
+            if mode == "felz":
+                bucket += 1
             if not used.any():
+                if mode == "felz" and bucket < len(thresholds):
+                    continue  # buckets remain: keep ramping the cap
                 break
 
             new_root = flatten(succ)

@@ -60,6 +60,12 @@ from ..ops.primitives import INT32_MAX, sparse_select
 BIGDIST = jnp.int32(1 << 30)
 
 
+def _use_pallas() -> bool:
+    """Multi-step Pallas sweep kernels on real TPUs; XLA sweeps elsewhere
+    (CPU CI, interpret-less environments). Same fixpoints either way."""
+    return jax.default_backend() == "tpu"
+
+
 def _shift(x, dy, dx, fill):
     return gg.shift_plane(x, dy, dx, fill)
 
@@ -79,11 +85,29 @@ class GossipState(NamedTuple):
     ID: jnp.ndarray      # (H, W) float32 Int(C), replicated
     merged: jnp.ndarray  # () bool
     it: jnp.ndarray      # () int32
+    bucket: jnp.ndarray  # () int32 weight-bucket index (quality mode)
 
 
-def _vertex_min_outgoing(L, w8, eid8):
+def bucket_thresholds(weights: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
+    """jnp mirror of models.boruvka_cpu.bucket_thresholds_np (same sample,
+    same ordering arithmetic, so bucketed runs stay oracle-comparable)."""
+    flat = jnp.stack([weights[d] for d in range(4)], axis=-1).reshape(-1)
+    stride = max(flat.shape[0] // 65536, 1)
+    sample = flat[::stride][:65536]
+    sample = jnp.where(jnp.isfinite(sample), sample, jnp.inf)
+    sample = jnp.sort(sample)
+    n = sample.shape[0]
+    n_fin = jnp.sum(jnp.isfinite(sample).astype(jnp.int32))
+    bs = jnp.arange(num_buckets, dtype=jnp.int32)
+    idx = jnp.clip(((bs + 1) * n_fin) // num_buckets - 1, 0,
+                   jnp.maximum(n_fin - 1, 0))
+    out = sample[jnp.clip(idx, 0, n - 1)]
+    return out.at[num_buckets - 1].set(jnp.inf)
+
+
+def _vertex_min_outgoing(L, w8, eid8, tau=jnp.inf):
     nbrL = jnp.stack(_shifts8(L, -1))
-    outgoing = nbrL != L[None]
+    outgoing = jnp.logical_and(nbrL != L[None], w8 <= tau)
     w = jnp.where(outgoing, w8, jnp.inf)
     vminw = jnp.min(w, axis=0)
     cand = jnp.where(w == vminw[None], eid8, INT32_MAX)
@@ -143,20 +167,25 @@ def _size_convergecast(L, vid, max_sweeps):
 
     dist = jnp.where(L == vid, jnp.int32(0), BIGDIST)
 
-    def dsweep(st):
-        dist, _, i = st
-        nL = _shifts8(L, -1)
-        nd = _shifts8(dist, BIGDIST)
-        d0 = dist
-        for d in range(8):
-            cand = jnp.where(nd[d] >= BIGDIST, BIGDIST, nd[d] + 1)
-            dist = jnp.where((nL[d] == L) & (cand < dist), cand, dist)
-        return dist, jnp.any(d0 != dist), i + jnp.int32(1)
+    if _use_pallas():
+        from ..ops.pallas import gossip as pg
 
-    dist, _, _ = jax.lax.while_loop(
-        lambda s: s[1] & (s[2] < max_sweeps), dsweep,
-        (dist, jnp.bool_(True), jnp.int32(0)),
-    )
+        dist = pg.dist_gossip(L, dist, max_sweeps)
+    else:
+        def dsweep(st):
+            dist, _, i = st
+            nL = _shifts8(L, -1)
+            nd = _shifts8(dist, BIGDIST)
+            d0 = dist
+            for d in range(8):
+                cand = jnp.where(nd[d] >= BIGDIST, BIGDIST, nd[d] + 1)
+                dist = jnp.where((nL[d] == L) & (cand < dist), cand, dist)
+            return dist, jnp.any(d0 != dist), i + jnp.int32(1)
+
+        dist, _, _ = jax.lax.while_loop(
+            lambda s: s[1] & (s[2] < max_sweeps), dsweep,
+            (dist, jnp.bool_(True), jnp.int32(0)),
+        )
 
     # parent dir: first dir whose same-L neighbor has dist == mine - 1.
     nL = _shifts8(L, -1)
@@ -167,6 +196,12 @@ def _size_convergecast(L, vid, max_sweeps):
         pdir = jnp.where(ok, jnp.int32(d), pdir)
 
     # iterated subtree sums: s <- 1 + sum over children.
+    s0 = jnp.ones((h, w), jnp.int32)
+    if _use_pallas():
+        from ..ops.pallas import gossip as pg
+
+        return pg.subtree_sums(pdir, s0, max_sweeps)
+
     rev = [4, 5, 6, 7, 0, 1, 2, 3]  # reverse direction index
 
     def ssweep(st):
@@ -179,7 +214,6 @@ def _size_convergecast(L, vid, max_sweeps):
             total = total + jnp.where(child, ns[d], 0)
         return total, jnp.any(total != s), i + jnp.int32(1)
 
-    s0 = jnp.ones((h, w), jnp.int32)
     s, _, _ = jax.lax.while_loop(
         lambda st: st[1] & (st[2] < max_sweeps), ssweep,
         (s0, jnp.bool_(True), jnp.int32(0)),
@@ -187,11 +221,17 @@ def _size_convergecast(L, vid, max_sweeps):
     return s
 
 
-def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps):
+def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
+            tau=jnp.inf):
     L, S, ID = state.L, state.S, state.ID
 
-    vminw, veid, nbrL = _vertex_min_outgoing(L, w8, eid8)
-    cw, ce, SZ = _compmin_gossip(L, vminw, veid, S, max_sweeps)
+    vminw, veid, nbrL = _vertex_min_outgoing(L, w8, eid8, tau)
+    if _use_pallas():
+        from ..ops.pallas import gossip as pg
+
+        cw, ce, SZ = pg.compmin_gossip(L, vminw, veid, S, max_sweeps)
+    else:
+        cw, ce, SZ = _compmin_gossip(L, vminw, veid, S, max_sweeps)
 
     if mode == "felz":
         thr = ID + jnp.float32(k) / SZ.astype(jnp.float32)
@@ -227,12 +267,21 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps):
     hook8 = allow8 & (nbrL != L[None])
     used_w8 = jnp.where(hook8, jnp.where(jnp.isfinite(w8), w8, 0.0), 0.0)
     id_init = jnp.maximum(ID, jnp.max(used_w8, axis=0))
-    Lnew, IDnew = _label_gossip(L, allow8, id_init, max_sweeps)
+    if _use_pallas():
+        from ..ops.pallas import gossip as pg
+
+        markp = jnp.zeros_like(L)
+        for d in range(4):
+            markp = markp | (new_mark4[d].astype(jnp.int32) << d)
+        Lnew, IDnew = pg.label_gossip(L, markp, L, id_init, max_sweeps)
+    else:
+        Lnew, IDnew = _label_gossip(L, allow8, id_init, max_sweeps)
 
     Snew = _size_convergecast(Lnew, vid, max_sweeps)
 
     return GossipState(
-        L=Lnew, S=Snew, ID=IDnew, merged=merged, it=state.it + jnp.int32(1)
+        L=Lnew, S=Snew, ID=IDnew, merged=merged, it=state.it + jnp.int32(1),
+        bucket=state.bucket,
     )
 
 
@@ -251,6 +300,7 @@ class CompactState(NamedTuple):
     fin: jnp.ndarray    # (C,) int32 current root of each initial root
     merged: jnp.ndarray
     it: jnp.ndarray
+    bucket: jnp.ndarray  # () int32 weight-bucket index (quality mode)
 
 
 def _select_compact(mask, keys, cap):
@@ -291,9 +341,10 @@ def _pair_dedup(esrc, edst, ew, eid, cap):
     return o1, o2, ow, oe, ovf
 
 
-def _s2_round(st: CompactState, v, comp_cap, k, min_size, mode):
+def _s2_round(st: CompactState, v, comp_cap, k, min_size, mode,
+              tau=jnp.inf):
     esrc, edst, ew = st.esrc, st.edst, st.ew
-    live = (esrc != edst) & jnp.isfinite(ew)
+    live = (esrc != edst) & jnp.isfinite(ew) & (ew <= tau)
     k1 = jnp.where(live, esrc, INT32_MAX)
     kw = jnp.where(live, ew, jnp.inf)
     s_src, s_w, s_eid, s_dst = jax.lax.sort(
@@ -363,15 +414,27 @@ def _s2_round(st: CompactState, v, comp_cap, k, min_size, mode):
     return CompactState(
         esrc=esrc, edst=edst, ew=st.ew, eeid=st.eeid, SZf=SZf, IDf=IDf,
         fin=fin, merged=jnp.any(changed), it=st.it + jnp.int32(1),
+        bucket=st.bucket,
     )
 
 
-def _s2_phase(st: CompactState, v, comp_cap, k, min_size, mode, max_iters):
+def _s2_phase(st: CompactState, v, comp_cap, k, min_size, mode, max_iters,
+              thresholds=None, nb=1):
     def cond(s):
         return s.merged & (s.it < max_iters)
 
     def body(s):
-        return _s2_round(s, v, comp_cap, k, min_size, mode)
+        tau = thresholds[s.bucket] if (
+            thresholds is not None and mode == "felz"
+        ) else jnp.inf
+        s2 = _s2_round(s, v, comp_cap, k, min_size, mode, tau=tau)
+        if thresholds is not None and mode == "felz":
+            more = s.bucket + 1 < nb
+            s2 = s2._replace(
+                bucket=jnp.minimum(s.bucket + 1, nb - 1),
+                merged=s2.merged | more,
+            )
+        return s2
 
     st = st._replace(merged=jnp.bool_(True), it=jnp.int32(0))
     return jax.lax.while_loop(cond, body, st)
@@ -401,22 +464,41 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
     w8, eid8 = gg.incident_views(weights)
     vid = jnp.arange(v, dtype=jnp.int32).reshape(h, w)
 
+    nb = max(cfg.weight_buckets, 1)
+    thresholds = (
+        bucket_thresholds(weights, nb) if cfg.weight_buckets > 0
+        else jnp.array([jnp.inf], dtype=jnp.float32)
+    )
+
     gst = GossipState(
         L=vid, S=jnp.ones((h, w), jnp.int32), ID=jnp.zeros((h, w), jnp.float32),
-        merged=jnp.bool_(True), it=jnp.int32(0),
+        merged=jnp.bool_(True), it=jnp.int32(0), bucket=jnp.int32(0),
     )
+
+    # quality mode merges cheapest edges first, which grows thin
+    # high-diameter components — gossip sweeps scale with diameter, so hand
+    # off to stage 2 much earlier there (at proportionally larger caps).
+    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 128
 
     def gcond(s):
         # run at least `gossip_rounds`, then keep gossiping until stage-2
         # capacities are safe (measured: deduped pair count ~ 3.5x component
-        # count, so C <= V/128 keeps pairs under the V/32 pair capacity).
+        # count, so the gate keeps pairs under the pair capacity).
         c = jnp.sum((s.L == vid).astype(jnp.int32))
-        return s.merged & ((s.it < gossip_rounds) | (c > v // 128))
+        return s.merged & ((s.it < gossip_rounds) | (c > gate_c))
 
     def gbody(s):
-        return _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps)
+        s2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz",
+                     max_sweeps, tau=thresholds[s.bucket])
+        # quality mode: the cap advances one bucket per round; keep looping
+        # while buckets remain even if this round merged nothing.
+        more = s.bucket + 1 < nb
+        return s2._replace(
+            bucket=jnp.minimum(s.bucket + 1, nb - 1),
+            merged=s2.merged | more,
+        )
 
-    return jax.lax.while_loop(gcond, gbody, gst), weights
+    return jax.lax.while_loop(gcond, gbody, gst), weights, thresholds
 
 
 def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
@@ -425,7 +507,8 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
     h, w = image.shape[0], image.shape[1]
     v = h * w
 
-    gst, weights = _stage_g(image, cfg, gossip_rounds)
+    gst, weights, thresholds = _stage_g(image, cfg, gossip_rounds)
+    nb = max(cfg.weight_buckets, 1)
 
     # ---- extraction: live canonical edges -> deduped directed edge list.
     # Endpoint labels come from dense shifted planes (no V-sized gathers);
@@ -448,7 +531,7 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
         [jnp.ones((1,), jnp.bool_),
          (s_lo[1:] != s_lo[:-1]) | (s_hi[1:] != s_hi[:-1])]
     ) & (s_lo != INT32_MAX)
-    pair_cap = max(v // 32, 16384)
+    pair_cap = max(v // 8 if cfg.weight_buckets > 0 else v // 32, 16384)
     pm, (plo, phi, pw, pe), _ = sparse_select(
         phead, [s_lo, s_hi, s_w, s_eid], pair_cap
     )
@@ -464,7 +547,7 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
     # ---- initial-root list for the final map: every component with at
     # least one live edge (components without live edges can never merge in
     # stage 2, so identity entries in the final map are correct for them).
-    comp_cap = max(v // 96, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
     srt_src = jax.lax.sort((jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),))[0]
     rhead = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), srt_src[1:] != srt_src[:-1]]
@@ -476,7 +559,7 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
         esrc=esrc, edst=edst, ew=ew, eeid=eeid,
         SZf=gst.S.reshape(-1), IDf=gst.ID.reshape(-1),
         fin=jnp.where(rm, r0_arr, 0),
-        merged=jnp.bool_(True), it=jnp.int32(0),
+        merged=jnp.bool_(True), it=jnp.int32(0), bucket=gst.bucket,
     )
 
     # NOTE: live head/pair counts do NOT shrink with felz convergence
@@ -485,9 +568,14 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
     # (C <= V/128 by the gossip gate) throughout. Edge pairs DO shrink
     # monotonically under merges, so one recompact after the first rounds
     # is safe with 2x headroom.
-    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, "felz", 2)
-    st, _ = _recompact_edges(st, max(v // 64, 16384))
-    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, "felz", cfg.max_iters)
+    s2_iters = cfg.max_iters + nb
+    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, "felz", 2,
+                   thresholds, nb)
+    st, _ = _recompact_edges(
+        st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
+    )
+    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, "felz", s2_iters,
+                   thresholds, nb)
     if cfg.min_size > 1:
         st = _s2_phase(
             st, v, comp_cap, cfg.k, cfg.min_size, "minsize", cfg.max_iters

@@ -1,0 +1,310 @@
+"""Pallas multi-step gossip sweep kernels.
+
+The turbo path's stage-G reductions are 8-neighbor propagation sweeps
+(lexmin component-min, min-label flood, BFS dist, subtree sums). In XLA each
+sweep is one full HBM pass; propagation over diameter-D components costs D
+passes. These kernels keep a row strip resident in VMEM with a T-row halo
+and iterate the propagation T times per HBM pass (the classic overlapped
+halo / temporal-blocking scheme): after i in-VMEM iterations the outer i
+rows of the slab are stale, and after T iterations exactly the interior S
+rows remain valid — so one pass advances the fixpoint by T steps at ~(S+2T)/S
+times the traffic of a single step. Net: ~6-7x fewer HBM passes at T=8.
+
+All variants share the strip runner; each supplies a small combine body:
+  compmin : lexmin (w, eid) + max(sz) over same-label neighbors
+  label   : min-label flood over same-oldlabel | mark-bit adjacency,
+            with a max-gossip float (Int) riding along
+  dist    : BFS level propagation over same-label neighbors
+  subsum  : iterated subtree sums along parent directions
+
+Convergence flags are computed against the pass's initial interior, so the
+surrounding while_loop sees exactly the same fixpoint as the XLA sweeps
+(gossip is a monotone idempotent fixpoint iteration: pass granularity does
+not change the result, which keeps oracle parity intact).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import grid_graph as gg
+
+T = 8  # propagation steps per HBM pass (also the halo width; multiple of 8)
+
+_REV = [4, 5, 6, 7, 0, 1, 2, 3]
+
+
+def _pick_strip_rows(wp: int) -> int:
+    """Strip height given padded width: ~20 concurrently-live row-planes
+    (scratch slabs + bitmask + loop-carried fields + temporaries + output
+    blocks) must fit VMEM with slack."""
+    budget = 8 * 1024 * 1024
+    per_row = wp * 4 * 20
+    s = max(budget // per_row, 8)
+    s = min(int(s) // 8 * 8, 256)
+    return max(s, 8)
+
+
+def _nbr(x, dy, dx, rows, wp):
+    """x[y+dy, x+dx] via wrapping rolls (validity handled by halo shrink +
+    column masks)."""
+    out = x
+    if dy:
+        out = pltpu.roll(out, (-dy) % rows, 0)
+    if dx:
+        out = pltpu.roll(out, (-dx) % wp, 1)
+    return out
+
+
+def _col_ok(dx, rows, wp):
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
+    if dx == 1:
+        return col < wp - 1
+    if dx == -1:
+        return col > 0
+    return jnp.ones((rows, wp), jnp.bool_)
+
+
+def _strip_call(prepare_fn, step_fn, ro_fields, rw_fields, h, w, s_rows):
+    """Run a T-step sweep kernel over row strips.
+
+    ro_fields/rw_fields: lists of ((H, W) array, sentinel fill).
+    Returns (new rw fields, changed flag ()bool).
+    """
+    wp = -(-w // 128) * 128
+    hp = -(-h // s_rows) * s_rows
+    nstrips = hp // s_rows
+    slab = s_rows + 2 * T
+
+    def padded(x, fill):
+        return jnp.pad(
+            x, ((T, hp - h + T), (0, wp - w)), constant_values=fill
+        )
+
+    ins = [padded(x, f) for x, f in ro_fields + rw_fields]
+    n_ro = len(ro_fields)
+    n_rw = len(rw_fields)
+    rw_fills = [f for _, f in rw_fields]
+
+    def kernel(*refs):
+        in_refs = refs[:n_ro + n_rw]
+        out_refs = refs[n_ro + n_rw : n_ro + 2 * n_rw]
+        scratch = refs[n_ro + 2 * n_rw : n_ro + 2 * n_rw + n_ro + n_rw]
+        sems = refs[-1]
+        i = pl.program_id(0)
+
+        cps = []
+        for j in range(n_ro + n_rw):
+            cp = pltpu.make_async_copy(
+                in_refs[j].at[pl.ds(i * s_rows, slab), :], scratch[j],
+                sems.at[j],
+            )
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+        ro = [scratch[j][:] for j in range(n_ro)]
+        rw = [scratch[n_ro + j][:] for j in range(n_rw)]
+        pre = prepare_fn(ro, slab, wp)
+
+        def step(_, rw):
+            return step_fn(pre, list(rw), slab, wp)
+
+        rw = jax.lax.fori_loop(0, T, step, tuple(rw))
+
+        for j in range(n_rw):
+            out_refs[j][:] = rw[j][T : T + s_rows, :]
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((hp, wp), x.dtype) for x, _ in rw_fields
+    ]
+    out_specs = [
+        pl.BlockSpec((s_rows, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for _ in range(n_rw)
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((slab, wp), x.dtype) for x, _ in ro_fields + rw_fields
+    ] + [pltpu.SemaphoreType.DMA((n_ro + n_rw,))]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nstrips,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (n_ro + n_rw),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch_shapes,
+    )(*ins)
+    new_rw = [o[:h, :w] for o in outs[:n_rw]]
+    # convergence check in XLA (one dense compare per field; the kernel
+    # cannot emit tiny per-strip outputs given Mosaic block constraints).
+    changed = jnp.bool_(False)
+    for (old, _), new in zip(rw_fields, new_rw):
+        changed = jnp.logical_or(changed, jnp.any(old != new))
+    return new_rw, changed
+
+
+def _run_to_fixpoint(prepare_fn, step_fn, ro_fields, rw_fields, h, w,
+                     max_passes):
+    s_rows = _pick_strip_rows(-(-w // 128) * 128)
+
+    def cond(st):
+        return st[0] & (st[1] < max_passes)
+
+    def body(st):
+        _, it, rw = st
+        new_rw, changed = _strip_call(
+            prepare_fn, step_fn, ro_fields,
+            list(zip(rw, [f for _, f in rw_fields])), h, w, s_rows,
+        )
+        return changed, it + jnp.int32(1), tuple(new_rw)
+
+    st = (jnp.bool_(True), jnp.int32(0), tuple(x for x, _ in rw_fields))
+    st = jax.lax.while_loop(cond, body, st)
+    return list(st[2])
+
+
+# ---------------------------------------------------------------------------
+# variant bodies
+# ---------------------------------------------------------------------------
+
+
+def _same_bits(L, rows, wp):
+    """Per-pixel bitmask: bit d set iff the dir-d neighbor has the same
+    label (and is in-bounds column-wise). Computed once per pass — L is
+    constant across the T in-VMEM iterations."""
+    bits = jnp.zeros(L.shape, jnp.int32)
+    for d, (dy, dx) in enumerate(gg.DIRS8):
+        nL = _nbr(L, dy, dx, rows, wp)
+        ok = (nL == L) & _col_ok(dx, rows, wp)
+        bits = bits | (ok.astype(jnp.int32) << d)
+    return bits
+
+
+def _compmin_prepare(ro, rows, wp):
+    (L,) = ro
+    return (_same_bits(L, rows, wp),)
+
+
+def _compmin_step(pre, rw, rows, wp):
+    (bits,) = pre
+    bw, be, sz = rw
+    for d, (dy, dx) in enumerate(gg.DIRS8):
+        same = ((bits >> d) & 1) > 0
+        nbw = _nbr(bw, dy, dx, rows, wp)
+        nbe = _nbr(be, dy, dx, rows, wp)
+        nsz = _nbr(sz, dy, dx, rows, wp)
+        take = same & ((nbw < bw) | ((nbw == bw) & (nbe < be)))
+        bw = jnp.where(take, nbw, bw)
+        be = jnp.where(take, nbe, be)
+        sz = jnp.where(same & (nsz > sz), nsz, sz)
+    return bw, be, sz
+
+
+def _label_prepare(ro, rows, wp):
+    L_old, markp = ro
+    same = _same_bits(L_old, rows, wp)
+    allow = jnp.zeros(L_old.shape, jnp.int32)
+    for d, (dy, dx) in enumerate(gg.DIRS8):
+        if d < 4:
+            mk = (markp >> d) & 1
+        else:
+            dyc, dxc = gg.DIRS4[d - 4]
+            mk = (_nbr(markp, -dyc, -dxc, rows, wp) >> (d - 4)) & 1
+        ok = ((((same >> d) & 1) | mk) > 0) & _col_ok(dx, rows, wp)
+        allow = allow | (ok.astype(jnp.int32) << d)
+    return (allow,)
+
+
+def _label_step(pre, rw, rows, wp):
+    (allow,) = pre
+    Lc, idf = rw
+    for d, (dy, dx) in enumerate(gg.DIRS8):
+        ok = ((allow >> d) & 1) > 0
+        nL = _nbr(Lc, dy, dx, rows, wp)
+        nid = _nbr(idf, dy, dx, rows, wp)
+        Lc = jnp.where(ok & (nL < Lc), nL, Lc)
+        idf = jnp.where(ok & (nid > idf), nid, idf)
+    return Lc, idf
+
+
+def _dist_step(pre, rw, rows, wp):
+    (bits,) = pre
+    (dist,) = rw
+    big = jnp.int32(1 << 30)
+    for d, (dy, dx) in enumerate(gg.DIRS8):
+        same = ((bits >> d) & 1) > 0
+        nd = _nbr(dist, dy, dx, rows, wp)
+        cand = jnp.where(nd >= big, big, nd + 1)
+        dist = jnp.where(same & (cand < dist), cand, dist)
+    return (dist,)
+
+
+def _subsum_prepare(ro, rows, wp):
+    (pdir,) = ro
+    child = jnp.zeros(pdir.shape, jnp.int32)
+    for d, (dy, dx) in enumerate(gg.DIRS8):
+        np_ = _nbr(pdir, dy, dx, rows, wp)
+        ok = (np_ == _REV[d]) & _col_ok(dx, rows, wp)
+        child = child | (ok.astype(jnp.int32) << d)
+    return (child,)
+
+
+def _subsum_step(pre, rw, rows, wp):
+    (child,) = pre
+    (s,) = rw
+    total = jnp.ones_like(s)
+    for d, (dy, dx) in enumerate(gg.DIRS8):
+        ns = _nbr(s, dy, dx, rows, wp)
+        total = total + jnp.where(((child >> d) & 1) > 0, ns, 0)
+    return (total,)
+
+
+# ---------------------------------------------------------------------------
+# public entry points (drop-in for the XLA sweeps in models/turbo.py)
+# ---------------------------------------------------------------------------
+
+
+def compmin_gossip(L, bw, be, sz, max_sweeps):
+    h, w = L.shape
+    max_passes = -(-max_sweeps // T)
+    bw, be, sz = _run_to_fixpoint(
+        _compmin_prepare, _compmin_step, [(L, -1)],
+        [(bw, jnp.inf), (be, jnp.iinfo(jnp.int32).max), (sz, 0)],
+        h, w, max_passes,
+    )
+    return bw, be, sz
+
+
+def label_gossip(L_old, mark_bits, Lc, idf, max_sweeps):
+    h, w = L_old.shape
+    max_passes = -(-max_sweeps // T)
+    Lc, idf = _run_to_fixpoint(
+        _label_prepare, _label_step, [(L_old, -1), (mark_bits, 0)],
+        [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0)],
+        h, w, max_passes,
+    )
+    return Lc, idf
+
+
+def dist_gossip(L, dist, max_sweeps):
+    h, w = L.shape
+    (dist,) = _run_to_fixpoint(
+        _compmin_prepare, _dist_step, [(L, -1)],
+        [(dist, jnp.int32(1 << 30))], h, w, -(-max_sweeps // T),
+    )
+    return dist
+
+
+def subtree_sums(pdir, s, max_sweeps):
+    h, w = pdir.shape
+    (s,) = _run_to_fixpoint(
+        _subsum_prepare, _subsum_step, [(pdir, 8)], [(s, 0)], h, w,
+        -(-max_sweeps // T),
+    )
+    return s
