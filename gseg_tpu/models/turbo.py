@@ -46,7 +46,6 @@ partition-equal.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -55,7 +54,7 @@ import jax.numpy as jnp
 from ..config import SegmentationConfig
 from ..ops import filters
 from ..ops import grid_graph as gg
-from ..ops.primitives import INT32_MAX, sparse_select
+from ..ops.primitives import INT32_MAX
 
 BIGDIST = jnp.int32(1 << 30)
 
@@ -301,6 +300,7 @@ class CompactState(NamedTuple):
     merged: jnp.ndarray
     it: jnp.ndarray
     bucket: jnp.ndarray  # () int32 weight-bucket index (quality mode)
+    phase: jnp.ndarray   # () int32: 0 = felz rounds, 1 = min-size rounds
 
 
 def _select_compact(mask, keys, cap):
@@ -341,10 +341,13 @@ def _pair_dedup(esrc, edst, ew, eid, cap):
     return o1, o2, ow, oe, ovf
 
 
-def _s2_round(st: CompactState, v, comp_cap, k, min_size, mode,
+def _s2_round(st: CompactState, v, comp_cap, k, min_size, is_felz,
               tau=jnp.inf):
+    """One compact round. is_felz: traced bool — predicate-gated felz round
+    vs min-size round (one compiled body serves both phases)."""
     esrc, edst, ew = st.esrc, st.edst, st.ew
-    live = (esrc != edst) & jnp.isfinite(ew) & (ew <= tau)
+    tau_eff = jnp.where(is_felz, tau, jnp.inf)
+    live = (esrc != edst) & jnp.isfinite(ew) & (ew <= tau_eff)
     k1 = jnp.where(live, esrc, INT32_MAX)
     kw = jnp.where(live, ew, jnp.inf)
     s_src, s_w, s_eid, s_dst = jax.lax.sort(
@@ -358,12 +361,11 @@ def _s2_round(st: CompactState, v, comp_cap, k, min_size, mode,
         head, [s_src, s_w, s_dst], comp_cap
     )
 
-    if mode == "felz":
-        thr_s = st.IDf[hsrc] + jnp.float32(k) / st.SZf[hsrc].astype(jnp.float32)
-        thr_d = st.IDf[hdst] + jnp.float32(k) / st.SZf[hdst].astype(jnp.float32)
-        ok = (hw <= thr_s) & (hw <= thr_d)
-    else:
-        ok = st.SZf[hsrc] < min_size
+    thr_s = st.IDf[hsrc] + jnp.float32(k) / st.SZf[hsrc].astype(jnp.float32)
+    thr_d = st.IDf[hdst] + jnp.float32(k) / st.SZf[hdst].astype(jnp.float32)
+    ok = jnp.where(
+        is_felz, (hw <= thr_s) & (hw <= thr_d), st.SZf[hsrc] < min_size
+    )
     hook = hm & ok
 
     succ = jnp.where(hook, hdst, hsrc)
@@ -414,25 +416,35 @@ def _s2_round(st: CompactState, v, comp_cap, k, min_size, mode,
     return CompactState(
         esrc=esrc, edst=edst, ew=st.ew, eeid=st.eeid, SZf=SZf, IDf=IDf,
         fin=fin, merged=jnp.any(changed), it=st.it + jnp.int32(1),
-        bucket=st.bucket,
+        bucket=st.bucket, phase=st.phase,
     )
 
 
-def _s2_phase(st: CompactState, v, comp_cap, k, min_size, mode, max_iters,
-              thresholds=None, nb=1):
+def _s2_phase(st: CompactState, v, comp_cap, k, min_size, max_iters,
+              thresholds, nb, with_minsize: bool):
+    """Felz rounds to convergence, then (optionally) min-size rounds, in ONE
+    while_loop: st.phase flips 0 -> 1 when felz converges with all buckets
+    open. One loop = one compiled round body for both phases."""
+
     def cond(s):
         return s.merged & (s.it < max_iters)
 
     def body(s):
-        tau = thresholds[s.bucket] if (
-            thresholds is not None and mode == "felz"
-        ) else jnp.inf
-        s2 = _s2_round(s, v, comp_cap, k, min_size, mode, tau=tau)
-        if thresholds is not None and mode == "felz":
-            more = s.bucket + 1 < nb
+        is_felz = s.phase == 0
+        tau = thresholds[s.bucket]
+        s2 = _s2_round(s, v, comp_cap, k, min_size, is_felz, tau=tau)
+        # bucket ramp (felz only)
+        more_buckets = is_felz & (s.bucket + 1 < nb)
+        s2 = s2._replace(
+            bucket=jnp.where(is_felz,
+                             jnp.minimum(s.bucket + 1, nb - 1), s.bucket),
+            merged=s2.merged | more_buckets,
+        )
+        if with_minsize:
+            flip = is_felz & ~s2.merged
             s2 = s2._replace(
-                bucket=jnp.minimum(s.bucket + 1, nb - 1),
-                merged=s2.merged | more,
+                phase=jnp.where(flip, jnp.int32(1), s.phase),
+                merged=s2.merged | flip,
             )
         return s2
 
@@ -501,6 +513,65 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
     return jax.lax.while_loop(gcond, gbody, gst), weights, thresholds
 
 
+def _chunked_pair_extract(lo, hi, w4, eid4, pair_cap, chunk=131072):
+    """Extract + per-pair dedup the live boundary edges.
+
+    One flat sort of all 4V slots costs ~2x what independent chunk sorts do
+    (measured: 33M x 4 operands = 199 ms flat vs 77 ms as (256, 131k) rows),
+    so: sort each chunk by (lo, hi, w, eid), mark within-chunk pair heads,
+    then a second batched sort moves heads to each chunk's front, and an
+    output-space scan + element gathers concatenate the chunk fronts.
+    A pair whose edges span several chunks survives once PER CHUNK —
+    duplicates are harmless (stage 2 treats the edge list as a multigraph
+    and the pair's global-min edge survives in whichever chunk holds it;
+    selection still finds the exact lexmin), they only cost capacity
+    headroom.
+
+    Returns (mask, lo, hi, w, eid) arrays of size pair_cap.
+    """
+    n = lo.shape[0]
+    nch = max(n // chunk, 1)
+    npad = nch * chunk if n % chunk == 0 else (n // chunk + 1) * chunk
+    nch = npad // chunk
+    pad = npad - n
+    if pad:
+        lo = jnp.concatenate([lo, jnp.full((pad,), INT32_MAX, lo.dtype)])
+        hi = jnp.concatenate([hi, jnp.full((pad,), INT32_MAX, hi.dtype)])
+        w4 = jnp.concatenate([w4, jnp.full((pad,), jnp.inf, w4.dtype)])
+        eid4 = jnp.concatenate([eid4, jnp.zeros((pad,), eid4.dtype)])
+    lo2, hi2, w2, e2 = (x.reshape(nch, chunk) for x in (lo, hi, w4, eid4))
+    s_lo, s_hi, s_w, s_e = jax.lax.sort(
+        (lo2, hi2, w2, e2), dimension=1, num_keys=4
+    )
+    head = jnp.concatenate(
+        [jnp.ones((nch, 1), jnp.bool_),
+         (s_lo[:, 1:] != s_lo[:, :-1]) | (s_hi[:, 1:] != s_hi[:, :-1])],
+        axis=1,
+    ) & (s_lo != INT32_MAX)
+    # second batched sort: heads to each chunk's front, stable order.
+    pos = jax.lax.broadcasted_iota(jnp.int32, (nch, chunk), 1)
+    key2 = jnp.where(head, pos, INT32_MAX)
+    k2, f_lo, f_hi, f_w, f_e = jax.lax.sort(
+        (key2, s_lo, s_hi, s_w, s_e), dimension=1, num_keys=1
+    )
+    counts = jnp.sum(head.astype(jnp.int32), axis=1)
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    total = jnp.sum(counts)
+    # output-space scan: which chunk owns output slot j.
+    marks = jnp.zeros((pair_cap,), jnp.int32).at[
+        jnp.clip(offsets, 0, pair_cap - 1)
+    ].max(jnp.arange(nch, dtype=jnp.int32), mode="drop")
+    chunk_of = jax.lax.associative_scan(jnp.maximum, marks)
+    j = jnp.arange(pair_cap, dtype=jnp.int32)
+    within = j - offsets[chunk_of]
+    src = jnp.clip(chunk_of * chunk + within, 0, npad - 1)
+    valid = j < total
+    flat = lambda x: x.reshape(-1)[src]
+    return (valid, flat(f_lo), flat(f_hi), flat(f_w), flat(f_e))
+
+
 def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
                        gossip_rounds: int = 4) -> jnp.ndarray:
     """(H, W, 3) -> (H, W) int32 canonical (min-vertex-id) labels."""
@@ -526,15 +597,9 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
     live4 = jnp.isfinite(ew4) & (la != lb) & (lb >= 0)
     lo = jnp.where(live4, jnp.minimum(la, lb), INT32_MAX)
     hi = jnp.where(live4, jnp.maximum(la, lb), INT32_MAX)
-    s_lo, s_hi, s_w, s_eid = jax.lax.sort((lo, hi, ew4, eid4), num_keys=4)
-    phead = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_),
-         (s_lo[1:] != s_lo[:-1]) | (s_hi[1:] != s_hi[:-1])]
-    ) & (s_lo != INT32_MAX)
-    pair_cap = max(v // 8 if cfg.weight_buckets > 0 else v // 32, 16384)
-    pm, (plo, phi, pw, pe), _ = sparse_select(
-        phead, [s_lo, s_hi, s_w, s_eid], pair_cap
-    )
+    # headroom for cross-chunk duplicate pairs (see _chunked_pair_extract).
+    pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 24, 16384)
+    pm, plo, phi, pw, pe = _chunked_pair_extract(lo, hi, ew4, eid4, pair_cap)
     plo = jnp.where(pm, plo, 0)
     phi = jnp.where(pm, phi, 0)
     pw = jnp.where(pm, pw, jnp.inf)
@@ -560,6 +625,7 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
         SZf=gst.S.reshape(-1), IDf=gst.ID.reshape(-1),
         fin=jnp.where(rm, r0_arr, 0),
         merged=jnp.bool_(True), it=jnp.int32(0), bucket=gst.bucket,
+        phase=jnp.int32(0),
     )
 
     # NOTE: live head/pair counts do NOT shrink with felz convergence
@@ -568,18 +634,14 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
     # (C <= V/128 by the gossip gate) throughout. Edge pairs DO shrink
     # monotonically under merges, so one recompact after the first rounds
     # is safe with 2x headroom.
-    s2_iters = cfg.max_iters + nb
-    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, "felz", 2,
-                   thresholds, nb)
+    s2_iters = 2 * cfg.max_iters + nb
+    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, 2, thresholds, nb,
+                   with_minsize=False)
     st, _ = _recompact_edges(
         st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
     )
-    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, "felz", s2_iters,
-                   thresholds, nb)
-    if cfg.min_size > 1:
-        st = _s2_phase(
-            st, v, comp_cap, cfg.k, cfg.min_size, "minsize", cfg.max_iters
-        )
+    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, s2_iters,
+                   thresholds, nb, with_minsize=cfg.min_size > 1)
 
     # ---- final labels: stage-G labels through the stage-2 root map.
     P = jnp.arange(v, dtype=jnp.int32).at[jnp.where(rm, r0, v)].set(

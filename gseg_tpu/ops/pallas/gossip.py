@@ -25,8 +25,6 @@ not change the result, which keeps oracle parity intact).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -89,7 +87,6 @@ def _strip_call(prepare_fn, step_fn, ro_fields, rw_fields, h, w, s_rows):
     ins = [padded(x, f) for x, f in ro_fields + rw_fields]
     n_ro = len(ro_fields)
     n_rw = len(rw_fields)
-    rw_fills = [f for _, f in rw_fields]
 
     def kernel(*refs):
         in_refs = refs[:n_ro + n_rw]

@@ -94,3 +94,47 @@ def test_special_images():
     for y in range(0, 24, 6):
         for x in range(0, 24, 6):
             assert np.unique(labels[y : y + 6, x : x + 6]).size == 1
+
+
+def test_chunked_pair_extract_matches_flat_dedup():
+    """Multi-chunk extraction must cover every pair's global-min edge
+    (duplicates allowed, losses not)."""
+    from gseg_tpu.models.turbo import _chunked_pair_extract
+    from gseg_tpu.ops.primitives import INT32_MAX
+
+    rng = np.random.default_rng(0)
+    n = 1024
+    lo = rng.integers(0, 40, n).astype(np.int32)
+    hi = (lo + rng.integers(1, 40, n)).astype(np.int32)
+    w = rng.uniform(0.0, 1.0, n).astype(np.float32)
+    eid = np.arange(n, dtype=np.int32)
+    dead = rng.uniform(size=n) < 0.5
+    lo[dead] = INT32_MAX
+    hi[dead] = INT32_MAX
+    w[dead] = np.inf
+
+    cap = 1024
+    m, olo, ohi, ow, oe = _chunked_pair_extract(
+        jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(w), jnp.asarray(eid),
+        cap, chunk=128,
+    )
+    m, olo, ohi, ow, oe = (np.asarray(x) for x in (m, olo, ohi, ow, oe))
+
+    # reference: per-pair global min (w, eid)
+    best = {}
+    for i in range(n):
+        if dead[i]:
+            continue
+        key = (lo[i], hi[i])
+        if key not in best or (w[i], eid[i]) < best[key]:
+            best[key] = (w[i], eid[i])
+
+    got = {}
+    for i in range(cap):
+        if not m[i]:
+            continue
+        key = (olo[i], ohi[i])
+        cur = (ow[i], oe[i])
+        if key not in got or cur < got[key]:
+            got[key] = cur
+    assert got == best
