@@ -22,6 +22,13 @@ def _segment_batch_impl(images: jnp.ndarray, cfg: SegmentationConfig) -> jnp.nda
     from ..models.atomic_boruvka import segment_atomic_impl
     from ..models.fastmst import segment_fastmst
     from ..models.superpixel import segment_superpixel
+    from ..models.turbo import segment_turbo_impl
+
+    if cfg.algorithm == "turbo":
+        # lax.map (one jitted program, sequential over the batch): the turbo
+        # path's Pallas kernels and data-adaptive while_loops don't vmap;
+        # per-image convergence also avoids vmap's lockstep worst-case.
+        return jax.lax.map(lambda im: segment_turbo_impl(im, cfg), images)
 
     fn = {
         "atomic": segment_atomic_impl,

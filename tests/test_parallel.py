@@ -64,3 +64,15 @@ def test_multichip_step_2d_mesh(cfg):
     assert out.shape == (4, 16, 24)
     single = np.asarray(segment_atomic(jnp.asarray(imgs[1]), cfg))
     assert np.array_equal(out[1], single)
+
+
+def test_segment_batch_turbo():
+    from gseg_tpu.models.turbo import segment_turbo
+    from gseg_tpu.utils.labels import canonical_min_labels_np
+
+    cfg = SegmentationConfig(k=120.0, min_size=4, max_iters=16,
+                             algorithm="turbo")
+    imgs = np.stack([blobs_image(16, 24, 4, 5.0, s) for s in range(2)])
+    out = np.asarray(segment_batch(jnp.asarray(imgs), cfg))
+    single = np.asarray(segment_turbo(jnp.asarray(imgs[0]), cfg))
+    assert np.array_equal(out[0], single)
