@@ -47,7 +47,7 @@ def _fence(x) -> None:
     import jax.numpy as jnp
 
     if hasattr(x, "dtype"):
-        _ = int(jnp.max(x))
+        _ = int(jnp.sum(jnp.isfinite(x.astype(jnp.float32))))
     else:
         _ = np.asarray(x).max()
 
