@@ -99,11 +99,19 @@ def segment_hierarchy(image, sigma=0.8, k=300.0, min_size=100,
         import jax.numpy as jnp
 
         return segment_atomic_hierarchy(jnp.asarray(image), cfg)
-    if cfg.algorithm in ("fastmst", "superpixel"):
+    if cfg.algorithm in ("fastmst", "turbo"):
+        # hierarchy capture needs per-round label maps; the fastmst path
+        # produces the identical partition sequence (both match the
+        # sequential oracle), so it serves as turbo's hierarchy mode.
         from .models.fastmst import segment_fastmst_hierarchy
         import jax.numpy as jnp
 
         return segment_fastmst_hierarchy(jnp.asarray(image), cfg)
+    if cfg.algorithm == "superpixel":
+        from .models.superpixel import segment_superpixel_hierarchy
+        import jax.numpy as jnp
+
+        return segment_superpixel_hierarchy(jnp.asarray(image), cfg)
     if cfg.algorithm == "boruvka_cpu":
         from .models.boruvka_cpu import segment_boruvka_np
 
