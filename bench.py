@@ -31,7 +31,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from gseg_tpu.config import SegmentationConfig
-    from gseg_tpu.models.turbo import segment_turbo
+    from gseg_tpu.models.turbo import segment_turbo, segment_turbo_flagged
     from gseg_tpu.utils.synthetic import blobs_image
 
     h, w = 1080, 1920
@@ -39,16 +39,18 @@ def main() -> None:
     img = jnp.asarray(blobs_image(h, w, num_blobs=32, noise=8.0, seed=0))
     img = jax.device_put(img)
 
-    # Warmup / compile. NOTE: block_until_ready does not reliably block
-    # through the axon tunnel; a scalar device fetch does (adds ~30 ms of
-    # host round-trip, subtracted below).
+    # Warmup / compile, with the capacity-flag check (raises on violation).
+    # NOTE: block_until_ready does not reliably block through the axon
+    # tunnel; a scalar device fetch does (adds ~30 ms of host round-trip,
+    # subtracted below). Timed reps use the unchecked entry so the flag
+    # fetch's extra round-trip stays out of the measured region.
     _ = int(jnp.max(segment_turbo(img, cfg)))
 
     reps = 5
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        _ = int(jnp.max(segment_turbo(img, cfg)))
+        _ = int(jnp.max(segment_turbo_flagged(img, cfg)[0]))
         times.append(time.perf_counter() - t0)
     mean_s = max(float(np.mean(times)) - 0.030, 1e-6)
 

@@ -42,6 +42,7 @@ def segment(image, sigma=0.8, k=300.0, min_size=100, algorithm="atomic",
     cfg = config or SegmentationConfig(
         sigma=sigma, k=k, min_size=min_size, algorithm=algorithm
     )
+    _check_weight_buckets(cfg, cfg.algorithm)
     image = np.asarray(image)
     if cfg.algorithm == "turbo":
         from .models.turbo import segment_turbo
@@ -82,6 +83,25 @@ def segment(image, sigma=0.8, k=300.0, min_size=100, algorithm="atomic",
     raise ValueError(f"unknown algorithm {cfg.algorithm!r}")
 
 
+# Paths that honor cfg.weight_buckets (the quality-mode bucket ramp); every
+# other algorithm ignores it, which would silently produce a different
+# partition than the one the user asked for.
+_BUCKET_AWARE = ("turbo", "boruvka_cpu")
+
+
+def _check_weight_buckets(cfg: SegmentationConfig, route: str) -> None:
+    # Kruskal paths already evaluate the predicate in sorted weight order —
+    # the quality-mode ramp is a no-op there, not a silent semantic change.
+    kruskal = ("kruskal_cpu", "kruskal_native")
+    if cfg.weight_buckets > 0 and route not in _BUCKET_AWARE + kruskal:
+        raise ValueError(
+            f"weight_buckets={cfg.weight_buckets} is only honored by "
+            f"{_BUCKET_AWARE}; the {route!r} path would silently ignore it "
+            "and produce a different partition. Use weight_buckets=0 or "
+            "algorithm='turbo'."
+        )
+
+
 def segment_hierarchy(image, sigma=0.8, k=300.0, min_size=100,
                       algorithm="atomic", config: SegmentationConfig | None = None):
     """Segment and return the full per-round hierarchy.
@@ -93,6 +113,10 @@ def segment_hierarchy(image, sigma=0.8, k=300.0, min_size=100,
     cfg = config or SegmentationConfig(
         sigma=sigma, k=k, min_size=min_size, algorithm=algorithm
     )
+    # Hierarchy routing substitutes paths (turbo currently routes through
+    # fastmst), so the routed path must honor the bucket ramp too.
+    route = "fastmst" if cfg.algorithm == "turbo" else cfg.algorithm
+    _check_weight_buckets(cfg, route)
     image = np.asarray(image)
     if cfg.algorithm in ("atomic", "atomic_hostsync"):
         from .models.atomic_boruvka import segment_atomic_hierarchy

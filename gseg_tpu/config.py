@@ -53,6 +53,11 @@ class SegmentationConfig:
                 evaluation while staying data-parallel — this closes most of
                 the Boruvka-vs-Kruskal ASA gap that the reference accepted
                 (Fig. 4: GPU ASA 0.905 vs CPU 0.974).
+    on_overflow: what the checked turbo entry does when a capacity or
+                sweep-budget flag is raised (the turbo path uses fixed
+                measured-heuristic capacities; violations are detected, never
+                silent): "raise" (default), "fallback" (route to the
+                capacity-unbounded atomic path), or "ignore" (experiments).
     """
 
     sigma: float = 0.8
@@ -64,6 +69,7 @@ class SegmentationConfig:
     quantize_weight_bits: int = 0
     connectivity: int = 8
     weight_buckets: int = 0
+    on_overflow: str = "raise"
 
     def __post_init__(self):
         if self.algorithm not in ALGORITHMS:
@@ -74,3 +80,5 @@ class SegmentationConfig:
             raise ValueError("connectivity must be 4 or 8")
         if self.quantize_weight_bits not in (0, 8, 10, 12, 16):
             raise ValueError("quantize_weight_bits must be 0/8/10/12/16")
+        if self.on_overflow not in ("raise", "fallback", "ignore"):
+            raise ValueError("on_overflow must be raise/fallback/ignore")

@@ -78,6 +78,16 @@ def _shifts8(x, fill):
 # ---------------------------------------------------------------------------
 
 
+# Overflow / unconvergence flag bits (returned next to the labels; the
+# public wrapper raises or falls back on nonzero — silent truncation is
+# never allowed to corrupt a result).
+FLAG_GOSSIP_UNCONVERGED = 1   # a stage-G sweep fixpoint hit its sweep cap
+FLAG_PAIR_OVERFLOW = 2        # extracted pair count exceeded pair_cap
+FLAG_COMP_OVERFLOW = 4        # live component heads exceeded comp_cap
+FLAG_RECOMPACT_OVERFLOW = 8   # deduped pairs exceeded the recompact cap
+FLAG_ITERS_EXHAUSTED = 16     # stage-2 exited its round budget unconverged
+
+
 class GossipState(NamedTuple):
     L: jnp.ndarray       # (H, W) int32 canonical labels (min vertex id)
     S: jnp.ndarray       # (H, W) int32 subtree sums; exact size at root pixel
@@ -85,6 +95,7 @@ class GossipState(NamedTuple):
     merged: jnp.ndarray  # () bool
     it: jnp.ndarray      # () int32
     bucket: jnp.ndarray  # () int32 weight-bucket index (quality mode)
+    flags: jnp.ndarray   # () int32 FLAG_* bits accumulated so far
 
 
 def bucket_thresholds(weights: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
@@ -135,7 +146,8 @@ def _compmin_gossip(L, bw, be, sz, max_sweeps):
 
     st = (bw, be, sz, jnp.bool_(True), jnp.int32(0))
     st = jax.lax.while_loop(lambda s: s[3] & (s[4] < max_sweeps), sweep, st)
-    return st[0], st[1], st[2]
+    # st[3] still True at exit <=> the sweep cap ended the loop unconverged.
+    return st[0], st[1], st[2], st[3]
 
 
 def _label_gossip(L, allow8, idf, max_sweeps):
@@ -153,7 +165,7 @@ def _label_gossip(L, allow8, idf, max_sweeps):
 
     st = (L, idf, jnp.bool_(True), jnp.int32(0))
     st = jax.lax.while_loop(lambda s: s[2] & (s[3] < max_sweeps), sweep, st)
-    return st[0], st[1]
+    return st[0], st[1], st[2]
 
 
 def _size_convergecast(L, vid, max_sweeps):
@@ -161,6 +173,7 @@ def _size_convergecast(L, vid, max_sweeps):
 
     dist-gossip (BFS levels from the root) -> parent directions -> iterated
     subtree sums. s(root) converges to |C| in tree-depth sweeps; all dense.
+    Returns (sizes, unconverged).
     """
     h, w = L.shape
 
@@ -169,7 +182,7 @@ def _size_convergecast(L, vid, max_sweeps):
     if _use_pallas():
         from ..ops.pallas import gossip as pg
 
-        dist = pg.dist_gossip(L, dist, max_sweeps)
+        dist, unconv = pg.dist_gossip(L, dist, max_sweeps)
     else:
         def dsweep(st):
             dist, _, i = st
@@ -181,7 +194,7 @@ def _size_convergecast(L, vid, max_sweeps):
                 dist = jnp.where((nL[d] == L) & (cand < dist), cand, dist)
             return dist, jnp.any(d0 != dist), i + jnp.int32(1)
 
-        dist, _, _ = jax.lax.while_loop(
+        dist, unconv, _ = jax.lax.while_loop(
             lambda s: s[1] & (s[2] < max_sweeps), dsweep,
             (dist, jnp.bool_(True), jnp.int32(0)),
         )
@@ -199,7 +212,8 @@ def _size_convergecast(L, vid, max_sweeps):
     if _use_pallas():
         from ..ops.pallas import gossip as pg
 
-        return pg.subtree_sums(pdir, s0, max_sweeps)
+        s, sub_unconv = pg.subtree_sums(pdir, s0, max_sweeps)
+        return s, unconv | sub_unconv
 
     rev = [4, 5, 6, 7, 0, 1, 2, 3]  # reverse direction index
 
@@ -213,11 +227,11 @@ def _size_convergecast(L, vid, max_sweeps):
             total = total + jnp.where(child, ns[d], 0)
         return total, jnp.any(total != s), i + jnp.int32(1)
 
-    s, _, _ = jax.lax.while_loop(
+    s, sub_unconv, _ = jax.lax.while_loop(
         lambda st: st[1] & (st[2] < max_sweeps), ssweep,
         (s0, jnp.bool_(True), jnp.int32(0)),
     )
-    return s
+    return s, unconv | sub_unconv
 
 
 def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
@@ -228,9 +242,9 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
     if _use_pallas():
         from ..ops.pallas import gossip as pg
 
-        cw, ce, SZ = pg.compmin_gossip(L, vminw, veid, S, max_sweeps)
+        cw, ce, SZ, unconv = pg.compmin_gossip(L, vminw, veid, S, max_sweeps)
     else:
-        cw, ce, SZ = _compmin_gossip(L, vminw, veid, S, max_sweeps)
+        cw, ce, SZ, unconv = _compmin_gossip(L, vminw, veid, S, max_sweeps)
 
     if mode == "felz":
         thr = ID + jnp.float32(k) / SZ.astype(jnp.float32)
@@ -272,15 +286,21 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
         markp = jnp.zeros_like(L)
         for d in range(4):
             markp = markp | (new_mark4[d].astype(jnp.int32) << d)
-        Lnew, IDnew = pg.label_gossip(L, markp, L, id_init, max_sweeps)
+        Lnew, IDnew, lab_unconv = pg.label_gossip(
+            L, markp, L, id_init, max_sweeps
+        )
     else:
-        Lnew, IDnew = _label_gossip(L, allow8, id_init, max_sweeps)
+        Lnew, IDnew, lab_unconv = _label_gossip(L, allow8, id_init, max_sweeps)
 
-    Snew = _size_convergecast(Lnew, vid, max_sweeps)
+    Snew, size_unconv = _size_convergecast(Lnew, vid, max_sweeps)
 
+    unconv = unconv | lab_unconv | size_unconv
+    flags = state.flags | jnp.where(
+        unconv, jnp.int32(FLAG_GOSSIP_UNCONVERGED), jnp.int32(0)
+    )
     return GossipState(
         L=Lnew, S=Snew, ID=IDnew, merged=merged, it=state.it + jnp.int32(1),
-        bucket=state.bucket,
+        bucket=state.bucket, flags=flags,
     )
 
 
@@ -301,6 +321,7 @@ class CompactState(NamedTuple):
     it: jnp.ndarray
     bucket: jnp.ndarray  # () int32 weight-bucket index (quality mode)
     phase: jnp.ndarray   # () int32: 0 = felz rounds, 1 = min-size rounds
+    flags: jnp.ndarray   # () int32 FLAG_* bits accumulated so far
 
 
 def _select_compact(mask, keys, cap):
@@ -357,7 +378,7 @@ def _s2_round(st: CompactState, v, comp_cap, k, min_size, is_felz,
         [jnp.ones((1,), jnp.bool_), s_src[1:] != s_src[:-1]]
     ) & (s_src != INT32_MAX)
 
-    hm, (hsrc, hw, hdst), _ = _select_compact(
+    hm, (hsrc, hw, hdst), head_ovf = _select_compact(
         head, [s_src, s_w, s_dst], comp_cap
     )
 
@@ -375,20 +396,36 @@ def _s2_round(st: CompactState, v, comp_cap, k, min_size, is_felz,
     s2 = S[succ]
     mutual = (s2 == hsrc) & (succ != hsrc)
     succ = jnp.where(mutual & (hsrc < succ), hsrc, succ)
-    S = iota.at[hsrc_safe].set(succ, mode="drop")
-    changed = hm & (succ != hsrc)
+
+    # Resolve hook chains by pointer-doubling the successor map itself in
+    # COMPACT index space (comp_cap-sized gathers per step, like the old
+    # single-step walk, but covering depth 2^i after i steps — decreasing-
+    # weight min-size chains can be thousands deep). Label -> head-slot via
+    # one comp_cap-lane scatter; labels hooked to a non-head (only possible
+    # under head overflow, which is flagged) resolve to themselves.
+    cap = hsrc.shape[0]
+    cidx = jnp.arange(cap, dtype=jnp.int32)
+    hidx = jnp.full((v,), INT32_MAX, jnp.int32).at[hsrc_safe].set(
+        cidx, mode="drop"
+    )
+    csucc_raw = hidx[jnp.where(hm, succ, 0)]
+    csucc = jnp.where(
+        hm & (succ != hsrc) & (csucc_raw != INT32_MAX), csucc_raw, cidx
+    )
+    max_doubles = max(int(cap).bit_length() + 1, 4)
 
     def dcond(c):
-        return c[1] & (c[2] < 16)
+        return c[1] & (c[2] < max_doubles)
 
     def dbody(c):
-        nr, _, i = c
-        nr2 = S[nr]
-        return nr2, jnp.any(nr2 != nr), i + jnp.int32(1)
+        p, _, i = c
+        p2 = p[p]
+        return p2, jnp.any(p2 != p), i + jnp.int32(1)
 
-    nr, _, _ = jax.lax.while_loop(
-        dcond, dbody, (succ, jnp.bool_(True), jnp.int32(0))
+    croot, _, _ = jax.lax.while_loop(
+        dcond, dbody, (csucc, jnp.bool_(True), jnp.int32(0))
     )
+    nr = hsrc[croot]
 
     # canonical min-vertex representative: nr already IS the min? No — the
     # hook sink. Relabel cluster to min member root for canonical labels:
@@ -413,18 +450,24 @@ def _s2_round(st: CompactState, v, comp_cap, k, min_size, is_felz,
     edst = M[edst]
     fin = M[st.fin]
 
+    flags = st.flags | jnp.where(
+        head_ovf, jnp.int32(FLAG_COMP_OVERFLOW), jnp.int32(0)
+    )
     return CompactState(
         esrc=esrc, edst=edst, ew=st.ew, eeid=st.eeid, SZf=SZf, IDf=IDf,
         fin=fin, merged=jnp.any(changed), it=st.it + jnp.int32(1),
-        bucket=st.bucket, phase=st.phase,
+        bucket=st.bucket, phase=st.phase, flags=flags,
     )
 
 
 def _s2_phase(st: CompactState, v, comp_cap, k, min_size, max_iters,
-              thresholds, nb, with_minsize: bool):
+              thresholds, nb, with_minsize: bool,
+              flag_exhaustion: bool = True):
     """Felz rounds to convergence, then (optionally) min-size rounds, in ONE
     while_loop: st.phase flips 0 -> 1 when felz converges with all buckets
-    open. One loop = one compiled round body for both phases."""
+    open. One loop = one compiled round body for both phases.
+    flag_exhaustion=False for deliberately round-capped warmup phases (the
+    pre-recompaction pass), where hitting the cap is the design."""
 
     def cond(s):
         return s.merged & (s.it < max_iters)
@@ -449,7 +492,14 @@ def _s2_phase(st: CompactState, v, comp_cap, k, min_size, max_iters,
         return s2
 
     st = st._replace(merged=jnp.bool_(True), it=jnp.int32(0))
-    return jax.lax.while_loop(cond, body, st)
+    st = jax.lax.while_loop(cond, body, st)
+    if not flag_exhaustion:
+        return st
+    # merged still True at exit <=> the round budget ended the loop early.
+    return st._replace(
+        flags=st.flags
+        | jnp.where(st.merged, jnp.int32(FLAG_ITERS_EXHAUSTED), jnp.int32(0))
+    )
 
 
 def _recompact_edges(st: CompactState, cap):
@@ -485,6 +535,7 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
     gst = GossipState(
         L=vid, S=jnp.ones((h, w), jnp.int32), ID=jnp.zeros((h, w), jnp.float32),
         merged=jnp.bool_(True), it=jnp.int32(0), bucket=jnp.int32(0),
+        flags=jnp.int32(0),
     )
 
     # quality mode merges cheapest edges first, which grows thin
@@ -527,7 +578,7 @@ def _chunked_pair_extract(lo, hi, w4, eid4, pair_cap, chunk=131072):
     selection still finds the exact lexmin), they only cost capacity
     headroom.
 
-    Returns (mask, lo, hi, w, eid) arrays of size pair_cap.
+    Returns (mask, lo, hi, w, eid, overflow); arrays are size pair_cap.
     """
     n = lo.shape[0]
     nch = max(n // chunk, 1)
@@ -569,12 +620,18 @@ def _chunked_pair_extract(lo, hi, w4, eid4, pair_cap, chunk=131072):
     src = jnp.clip(chunk_of * chunk + within, 0, npad - 1)
     valid = j < total
     flat = lambda x: x.reshape(-1)[src]
-    return (valid, flat(f_lo), flat(f_hi), flat(f_w), flat(f_e))
+    # total > pair_cap corrupts chunk_of (clipped offset scatter) — the
+    # caller must treat the output as invalid when overflow is set.
+    return (valid, flat(f_lo), flat(f_hi), flat(f_w), flat(f_e),
+            total > pair_cap)
 
 
 def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
-                       gossip_rounds: int = 4) -> jnp.ndarray:
-    """(H, W, 3) -> (H, W) int32 canonical (min-vertex-id) labels."""
+                       gossip_rounds: int = 4):
+    """(H, W, 3) -> (labels, flags): (H, W) int32 canonical (min-vertex-id)
+    labels plus a () int32 FLAG_* bitmask — nonzero means a capacity or
+    sweep-budget violation occurred and the labels must not be trusted
+    (`segment_turbo` checks it and raises / falls back)."""
     h, w = image.shape[0], image.shape[1]
     v = h * w
 
@@ -599,7 +656,9 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
     hi = jnp.where(live4, jnp.maximum(la, lb), INT32_MAX)
     # headroom for cross-chunk duplicate pairs (see _chunked_pair_extract).
     pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 24, 16384)
-    pm, plo, phi, pw, pe = _chunked_pair_extract(lo, hi, ew4, eid4, pair_cap)
+    pm, plo, phi, pw, pe, pair_ovf = _chunked_pair_extract(
+        lo, hi, ew4, eid4, pair_cap
+    )
     plo = jnp.where(pm, plo, 0)
     phi = jnp.where(pm, phi, 0)
     pw = jnp.where(pm, pw, jnp.inf)
@@ -617,15 +676,20 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
     rhead = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), srt_src[1:] != srt_src[:-1]]
     ) & (srt_src != INT32_MAX)
-    rm, (r0_arr,), _ = _select_compact(rhead, [srt_src], comp_cap)
+    rm, (r0_arr,), root_ovf = _select_compact(rhead, [srt_src], comp_cap)
     r0 = jnp.where(rm, r0_arr, v)  # v = dummy (dropped in scatters)
 
+    flags0 = (
+        gst.flags
+        | jnp.where(pair_ovf, jnp.int32(FLAG_PAIR_OVERFLOW), jnp.int32(0))
+        | jnp.where(root_ovf, jnp.int32(FLAG_COMP_OVERFLOW), jnp.int32(0))
+    )
     st = CompactState(
         esrc=esrc, edst=edst, ew=ew, eeid=eeid,
         SZf=gst.S.reshape(-1), IDf=gst.ID.reshape(-1),
         fin=jnp.where(rm, r0_arr, 0),
         merged=jnp.bool_(True), it=jnp.int32(0), bucket=gst.bucket,
-        phase=jnp.int32(0),
+        phase=jnp.int32(0), flags=flags0,
     )
 
     # NOTE: live head/pair counts do NOT shrink with felz convergence
@@ -636,9 +700,13 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
     # is safe with 2x headroom.
     s2_iters = 2 * cfg.max_iters + nb
     st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, 2, thresholds, nb,
-                   with_minsize=False)
-    st, _ = _recompact_edges(
+                   with_minsize=False, flag_exhaustion=False)
+    st, rec_ovf = _recompact_edges(
         st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
+    )
+    st = st._replace(
+        flags=st.flags
+        | jnp.where(rec_ovf, jnp.int32(FLAG_RECOMPACT_OVERFLOW), jnp.int32(0))
     )
     st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, s2_iters,
                    thresholds, nb, with_minsize=cfg.min_size > 1)
@@ -647,9 +715,49 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
     P = jnp.arange(v, dtype=jnp.int32).at[jnp.where(rm, r0, v)].set(
         st.fin, mode="drop"
     )
-    return P[Lf].reshape(h, w)
+    return P[Lf].reshape(h, w), st.flags
 
 
-segment_turbo = jax.jit(
+segment_turbo_flagged = jax.jit(
     segment_turbo_impl, static_argnames=("cfg", "gossip_rounds")
 )
+
+
+def describe_flags(flags: int) -> str:
+    names = {
+        FLAG_GOSSIP_UNCONVERGED: "gossip sweep cap exhausted",
+        FLAG_PAIR_OVERFLOW: "pair-extraction capacity overflow",
+        FLAG_COMP_OVERFLOW: "component-head capacity overflow",
+        FLAG_RECOMPACT_OVERFLOW: "edge-recompaction capacity overflow",
+        FLAG_ITERS_EXHAUSTED: "stage-2 round budget exhausted",
+    }
+    hits = [msg for bit, msg in names.items() if flags & bit]
+    return "; ".join(hits) if hits else "ok"
+
+
+def segment_turbo(image: jnp.ndarray, cfg: SegmentationConfig,
+                  gossip_rounds: int = 4) -> jnp.ndarray:
+    """Checked turbo entry: (H, W, 3) -> (H, W) int32 labels.
+
+    Runs the jitted pipeline, then inspects the overflow/unconvergence flag
+    bitmask on the host (piggybacks on the device->host fetch every caller
+    performs anyway). On a nonzero mask the result is NOT a valid
+    segmentation; per cfg.on_overflow this either raises (default), falls
+    back to the capacity-unbounded atomic path, or returns anyway
+    ("ignore", for capacity experiments only).
+    """
+    labels, flags = segment_turbo_flagged(image, cfg, gossip_rounds)
+    flags = int(flags)
+    if flags == 0:
+        return labels
+    msg = f"turbo capacity/budget violation: {describe_flags(flags)}"
+    if cfg.on_overflow == "fallback":
+        from .atomic_boruvka import segment_atomic
+
+        return segment_atomic(image, cfg)
+    if cfg.on_overflow == "ignore":
+        return labels
+    raise RuntimeError(
+        msg + " — rerun with SegmentationConfig(on_overflow='fallback') "
+        "to route to the atomic path, or use a larger-capacity config"
+    )

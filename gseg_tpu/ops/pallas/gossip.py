@@ -163,7 +163,8 @@ def _run_to_fixpoint(prepare_fn, step_fn, ro_fields, rw_fields, h, w,
 
     st = (jnp.bool_(True), jnp.int32(0), tuple(x for x, _ in rw_fields))
     st = jax.lax.while_loop(cond, body, st)
-    return list(st[2])
+    # st[0] still True at exit <=> the pass budget ended the loop unconverged.
+    return list(st[2]), st[0]
 
 
 # ---------------------------------------------------------------------------
@@ -268,40 +269,50 @@ def _subsum_step(pre, rw, rows, wp):
 
 
 def compmin_gossip(L, bw, be, sz, max_sweeps):
+    """Returns (bw, be, sz, unconverged)."""
     h, w = L.shape
     max_passes = -(-max_sweeps // T)
-    bw, be, sz = _run_to_fixpoint(
+    (bw, be, sz), unconv = _run_to_fixpoint(
         _compmin_prepare, _compmin_step, [(L, -1)],
         [(bw, jnp.inf), (be, jnp.iinfo(jnp.int32).max), (sz, 0)],
         h, w, max_passes,
     )
-    return bw, be, sz
+    return bw, be, sz, unconv
 
 
 def label_gossip(L_old, mark_bits, Lc, idf, max_sweeps):
+    """Returns (Lc, idf, unconverged).
+
+    Precondition: mark bits never point across the image boundary (the
+    producer guarantees this — an out-of-bounds edge has +inf weight and is
+    never a component min edge). The kernel's column masks cover the PADDED
+    width only; a boundary-crossing mark would flood through the pad region.
+    """
     h, w = L_old.shape
     max_passes = -(-max_sweeps // T)
-    Lc, idf = _run_to_fixpoint(
+    (Lc, idf), unconv = _run_to_fixpoint(
         _label_prepare, _label_step, [(L_old, -1), (mark_bits, 0)],
         [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0)],
         h, w, max_passes,
     )
-    return Lc, idf
+    return Lc, idf, unconv
 
 
 def dist_gossip(L, dist, max_sweeps):
+    """Returns (dist, unconverged)."""
     h, w = L.shape
-    (dist,) = _run_to_fixpoint(
+    (dist,), unconv = _run_to_fixpoint(
         _compmin_prepare, _dist_step, [(L, -1)],
         [(dist, jnp.int32(1 << 30))], h, w, -(-max_sweeps // T),
     )
-    return dist
+    return dist, unconv
 
 
 def subtree_sums(pdir, s, max_sweeps):
+    """Returns (sums, unconverged)."""
     h, w = pdir.shape
-    (s,) = _run_to_fixpoint(
+    (s,), unconv = _run_to_fixpoint(
         _subsum_prepare, _subsum_step, [(pdir, 8)], [(s, 0)], h, w,
         -(-max_sweeps // T),
     )
-    return s
+    return s, unconv

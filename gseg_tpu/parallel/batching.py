@@ -18,7 +18,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import SegmentationConfig
 
 
-def _segment_batch_impl(images: jnp.ndarray, cfg: SegmentationConfig) -> jnp.ndarray:
+def _segment_batch_impl(images: jnp.ndarray, cfg: SegmentationConfig):
+    """Returns (labels (B, H, W), flags () int32 OR over the batch)."""
     from ..models.atomic_boruvka import segment_atomic_impl
     from ..models.fastmst import segment_fastmst
     from ..models.superpixel import segment_superpixel
@@ -28,18 +29,43 @@ def _segment_batch_impl(images: jnp.ndarray, cfg: SegmentationConfig) -> jnp.nda
         # lax.map (one jitted program, sequential over the batch): the turbo
         # path's Pallas kernels and data-adaptive while_loops don't vmap;
         # per-image convergence also avoids vmap's lockstep worst-case.
-        return jax.lax.map(lambda im: segment_turbo_impl(im, cfg), images)
+        labels, flags = jax.lax.map(
+            lambda im: segment_turbo_impl(im, cfg), images
+        )
+        return labels, jax.lax.associative_scan(jnp.bitwise_or, flags)[-1]
 
     fn = {
         "atomic": segment_atomic_impl,
         "fastmst": segment_fastmst,
         "superpixel": segment_superpixel,
     }[cfg.algorithm]
-    return jax.vmap(lambda im: fn(im, cfg))(images)
+    return jax.vmap(lambda im: fn(im, cfg))(images), jnp.int32(0)
 
 
-segment_batch = jax.jit(_segment_batch_impl, static_argnames=("cfg",))
-segment_batch.__doc__ = "(B, H, W, 3) -> (B, H, W) int32 labels, one jitted vmapped program."
+segment_batch_flagged = jax.jit(_segment_batch_impl, static_argnames=("cfg",))
+
+
+def segment_batch(images: jnp.ndarray, cfg: SegmentationConfig) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B, H, W) int32 labels, one jitted vmapped program.
+
+    Checks the turbo path's capacity flags on the host (once per batch; see
+    models.turbo.segment_turbo for the per-image semantics)."""
+    labels, flags = segment_batch_flagged(images, cfg)
+    if int(flags) != 0:
+        from ..models.turbo import describe_flags
+
+        if cfg.on_overflow == "fallback":
+            from ..models.atomic_boruvka import segment_atomic_impl
+
+            return jax.jit(
+                jax.vmap(lambda im: segment_atomic_impl(im, cfg)),
+            )(images)
+        if cfg.on_overflow != "ignore":
+            raise RuntimeError(
+                "turbo capacity/budget violation in batch: "
+                + describe_flags(int(flags))
+            )
+    return labels
 
 
 def data_parallel_mesh(devices=None, axis: str = "data") -> Mesh:
@@ -64,6 +90,14 @@ def segment_batch_sharded(
     fn = jax.jit(
         functools.partial(_segment_batch_impl, cfg=cfg),
         in_shardings=sharding,
-        out_shardings=out_sharding,
+        out_shardings=(out_sharding, NamedSharding(mesh, P())),
     )
-    return fn(images)
+    labels, flags = fn(images)
+    if int(flags) != 0 and cfg.on_overflow == "raise":
+        from ..models.turbo import describe_flags
+
+        raise RuntimeError(
+            "turbo capacity/budget violation in sharded batch: "
+            + describe_flags(int(flags))
+        )
+    return labels

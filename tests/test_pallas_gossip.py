@@ -1,0 +1,138 @@
+"""Pallas multi-step gossip kernels vs the XLA sweeps, on CPU.
+
+The kernels are the production TPU stage-G path; CI runs CPU-only, so they
+are exercised here through Mosaic's TPU interpret mode
+(`pltpu.force_tpu_interpret_mode`) and asserted bit-equal to the XLA sweep
+implementations on randomized fields, including non-multiple-of-strip
+heights/widths (halo shrink, roll wraparound, bitmask adjacency).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from gseg_tpu.models import turbo
+from gseg_tpu.ops.pallas import gossip as pg
+
+# (h, w): deliberately not multiples of 8/128 to stress halo + column masks.
+SHAPES = [(23, 70), (37, 150), (64, 128)]
+
+
+def _rand_labels(rng, h, w, ncomp):
+    """Random label field whose values are valid 'canonical min vertex ids'
+    in spirit (any int32s work for the sweeps; keep them small + varied)."""
+    return rng.integers(0, ncomp, (h, w)).astype(np.int32)
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_compmin_matches_xla(shape):
+    h, w = shape
+    rng = np.random.default_rng(h * 1000 + w)
+    L = jnp.asarray(_rand_labels(rng, h, w, 7))
+    bw = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    be = jnp.asarray(rng.integers(0, 10_000, (h, w)).astype(np.int32))
+    sz = jnp.asarray(rng.integers(1, 9, (h, w)).astype(np.int32))
+    ms = 4 * (h + w)
+    ref = turbo._compmin_gossip(L, bw, be, sz, ms)
+    with pltpu.force_tpu_interpret_mode():
+        got = pg.compmin_gossip(L, bw, be, sz, ms)
+    for r, g in zip(ref, got):
+        assert np.array_equal(np.asarray(r), np.asarray(g))
+
+
+@pytest.mark.parametrize("shape", SHAPES[:2])
+def test_label_flood_matches_xla(shape):
+    h, w = shape
+    rng = np.random.default_rng(h + w)
+    L = jnp.asarray(_rand_labels(rng, h, w, 6))
+    idf = jnp.asarray(rng.uniform(0, 5, (h, w)).astype(np.float32))
+    mark4 = rng.integers(0, 2, (4, h, w)).astype(bool)
+    ms = 4 * (h + w)
+
+    # Producer invariant (_ground): a mark never points out of bounds — an
+    # out-of-bounds edge has +inf weight and can't be a component min edge.
+    import gseg_tpu.ops.grid_graph as gg
+
+    for d, (dy, dx) in enumerate(gg.DIRS4):
+        mark4[d] &= np.asarray(gg.valid_plane(h, w, dy, dx))
+
+    # XLA reference needs allow8 (same-label | mark adjacency, both dirs).
+    nbrL = jnp.stack([gg.shift_plane(L, dy, dx, -1) for dy, dx in gg.DIRS8])
+    allow = []
+    for d in range(8):
+        if d < 4:
+            am = jnp.asarray(mark4[d])
+        else:
+            dy, dx = gg.DIRS4[d - 4]
+            am = gg.shift_plane(jnp.asarray(mark4[d - 4]), -dy, -dx, False)
+        allow.append((nbrL[d] == L) | am)
+    allow8 = jnp.stack(allow)
+    ref = turbo._label_gossip(L, allow8, idf, ms)
+
+    markp = jnp.zeros((h, w), jnp.int32)
+    for d in range(4):
+        markp = markp | (jnp.asarray(mark4[d]).astype(jnp.int32) << d)
+    with pltpu.force_tpu_interpret_mode():
+        got = pg.label_gossip(L, markp, L, idf, ms)
+    for r, g in zip(ref, got):
+        assert np.array_equal(np.asarray(r), np.asarray(g))
+
+
+def _canonicalize(L2d):
+    """Connected-component relabel to min flat vertex id (NumPy BFS)."""
+    h, w = L2d.shape
+    vid = np.arange(h * w).reshape(h, w)
+    lab = -np.ones((h, w), np.int32)
+    for y in range(h):
+        for x in range(w):
+            if lab[y, x] >= 0:
+                continue
+            stack = [(y, x)]
+            members = []
+            val = L2d[y, x]
+            lab[y, x] = -2
+            while stack:
+                cy, cx = stack.pop()
+                members.append((cy, cx))
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = cy + dy, cx + dx
+                        if (
+                            0 <= ny < h and 0 <= nx < w
+                            and lab[ny, nx] == -1 and L2d[ny, nx] == val
+                        ):
+                            lab[ny, nx] = -2
+                            stack.append((ny, nx))
+            root = min(vid[cy, cx] for cy, cx in members)
+            for cy, cx in members:
+                lab[cy, cx] = root
+    return lab
+
+
+@pytest.mark.parametrize("shape", SHAPES[:2])
+def test_size_convergecast_matches_xla(shape):
+    h, w = shape
+    rng = np.random.default_rng(h * 13 + w)
+    L = jnp.asarray(_canonicalize(_rand_labels(rng, h, w, 4)))
+    vid = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    ms = 4 * (h + w)
+
+    ref_s, ref_unconv = turbo._size_convergecast(L, vid, ms)
+
+    orig = turbo._use_pallas
+    turbo._use_pallas = lambda: True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got_s, got_unconv = turbo._size_convergecast(L, vid, ms)
+    finally:
+        turbo._use_pallas = orig
+    assert np.array_equal(np.asarray(ref_s), np.asarray(got_s))
+    assert bool(ref_unconv) == bool(got_unconv)
+    # sizes at root pixels equal true component sizes
+    Ln = np.asarray(L)
+    got = np.asarray(got_s)
+    for root in np.unique(Ln):
+        ry, rx = divmod(int(root), w)
+        assert got[ry, rx] == int((Ln == root).sum())

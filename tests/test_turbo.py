@@ -96,6 +96,43 @@ def test_special_images():
             assert np.unique(labels[y : y + 6, x : x + 6]).size == 1
 
 
+def test_deep_minsize_chain_resolves_in_budget():
+    """Regression: the min-size phase can form hook chains thousands deep
+    (every component hooks to its cheaper left neighbor). Single-step chain
+    walking (pre-fix) resolved <=17 levels per round and ran out of the
+    stage-2 round budget; successor-map pointer doubling must merge the
+    whole chain within the budget and match the oracle."""
+    n = 4096
+    # strictly increasing edge weights along one row -> every pixel's min
+    # edge points left -> one maximal-depth chain in the min-size phase.
+    vals = np.cumsum(np.linspace(10.0, 30.0, n)).astype(np.float32)
+    img = np.repeat(vals[None, :, None], 3, axis=2).reshape(1, n, 3)
+    cfg = SegmentationConfig(k=1e-3, min_size=n, sigma=0.0)
+    expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
+    got = np.asarray(segment_turbo(jnp.asarray(img), cfg))
+    assert num_components(got) == 1
+    assert np.array_equal(expected, got)
+
+
+def test_capacity_overflow_detected_not_silent():
+    """A low-k noise image keeps C ~ V into stage 2, overflowing the
+    measured-heuristic capacities. Pre-fix this silently truncated the edge
+    set and corrupted the labels; now it must raise (default) and produce
+    the oracle partition under on_overflow='fallback'."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (192, 384, 3)).astype(np.float32)
+    cfg = SegmentationConfig(k=1e-3, min_size=1, sigma=0.0)
+    with pytest.raises(RuntimeError, match="capacity|budget"):
+        segment_turbo(jnp.asarray(img), cfg)
+
+    cfg_fb = SegmentationConfig(
+        k=1e-3, min_size=1, sigma=0.0, on_overflow="fallback"
+    )
+    got = np.asarray(segment_turbo(jnp.asarray(img), cfg_fb))
+    # k ~ 0 on continuous noise: every pixel stays its own component.
+    assert num_components(got) == img.shape[0] * img.shape[1]
+
+
 def test_chunked_pair_extract_matches_flat_dedup():
     """Multi-chunk extraction must cover every pair's global-min edge
     (duplicates allowed, losses not)."""
@@ -114,10 +151,11 @@ def test_chunked_pair_extract_matches_flat_dedup():
     w[dead] = np.inf
 
     cap = 1024
-    m, olo, ohi, ow, oe = _chunked_pair_extract(
+    m, olo, ohi, ow, oe, ovf = _chunked_pair_extract(
         jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(w), jnp.asarray(eid),
         cap, chunk=128,
     )
+    assert not bool(ovf)
     m, olo, ohi, ow, oe = (np.asarray(x) for x in (m, olo, ohi, ow, oe))
 
     # reference: per-pair global min (w, eid)
