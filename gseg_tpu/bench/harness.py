@@ -95,7 +95,10 @@ def segment_fn(algorithm: str, cfg: SegmentationConfig, checked: bool = True):
         from ..models.turbo import segment_turbo, segment_turbo_flagged
 
         if not checked:
-            return lambda img: segment_turbo_flagged(img, cfg)[0]
+            # gossip_rounds passed explicitly: a defaulted static arg is a
+            # different jit cache key than an explicitly-passed equal value,
+            # and the checked warmup call passes it explicitly.
+            return lambda img: segment_turbo_flagged(img, cfg, 4)[0]
         return lambda img: segment_turbo(img, cfg)
     if algorithm == "atomic":
         from ..models.atomic_boruvka import segment_atomic

@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-buckets", type=int, default=0,
                    help="quality mode: ramp edge eligibility through N "
                         "weight-quantile buckets (Kruskal-like ordering; "
-                        "8 recovers CPU-baseline ASA)")
+                        "16 recovers CPU-baseline ASA)")
     p.add_argument("--hierarchy-level", type=int, default=0,
                    help="render this Boruvka-round level instead of the final map")
     p.add_argument("--hierarchy-dir", default=None,

@@ -12,7 +12,7 @@ truths, the one maximizing ASA is used (report-extract.txt:608-611).
 
 Implementation: one sparse overlap histogram per (seg, gt) pair via
 np.unique on paired codes — O(N log N) on host; a C++ fast path lives in
-gseg_tpu/native (compare.cpp); `asa_ue_jax` is a jit/vmap-able on-device
+gseg_tpu/native (felz.cpp: compare_asa_ue); `asa_ue_jax` is a jit/vmap-able on-device
 version for benchmarking whole batches without host transfers.
 """
 

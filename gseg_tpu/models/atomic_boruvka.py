@@ -184,6 +184,10 @@ def segment_atomic_impl(image: jnp.ndarray, cfg: SegmentationConfig) -> jnp.ndar
 
 segment_atomic = jax.jit(segment_atomic_impl, static_argnames=("cfg",))
 
+# Module-level jit (not per-call) so repeated hostsync invocations reuse the
+# trace cache instead of re-tracing prepare_graph every call.
+_prepare_graph_jit = jax.jit(prepare_graph, static_argnames=("cfg",))
+
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mode", "shape"))
 def _one_round_jit(state, w8, eid8, shape, cfg: SegmentationConfig, mode: str):
@@ -199,7 +203,7 @@ def segment_atomic_hostsync(image, cfg: SegmentationConfig):
     """
     image = jnp.asarray(image)
     h, w = image.shape[0], image.shape[1]
-    w8, eid8 = jax.jit(prepare_graph, static_argnames=("cfg",))(image, cfg)
+    w8, eid8 = _prepare_graph_jit(image, cfg)
     state = _init_state(h * w)
     for mode in ("felz", "minsize") if cfg.min_size > 1 else ("felz",):
         state = state._replace(merged=jnp.bool_(True), it=jnp.int32(0))

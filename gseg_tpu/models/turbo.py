@@ -626,25 +626,20 @@ def _chunked_pair_extract(lo, hi, w4, eid4, pair_cap, chunk=131072):
             total > pair_cap)
 
 
-def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
-                       gossip_rounds: int = 4):
-    """(H, W, 3) -> (labels, flags): (H, W) int32 canonical (min-vertex-id)
-    labels plus a () int32 FLAG_* bitmask — nonzero means a capacity or
-    sweep-budget violation occurred and the labels must not be trusted
-    (`segment_turbo` checks it and raises / falls back)."""
-    h, w = image.shape[0], image.shape[1]
+def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
+    """Gossip -> compact handoff: live boundary edges + initial-root list.
+
+    Returns (st: CompactState, rm, r0): the deduped directed edge list with
+    component stats, plus the initial-root slots feeding the final map.
+    """
+    h, w = gst.L.shape
     v = h * w
-
-    gst, weights, thresholds = _stage_g(image, cfg, gossip_rounds)
-    nb = max(cfg.weight_buckets, 1)
-
     # ---- extraction: live canonical edges -> deduped directed edge list.
     # Endpoint labels come from dense shifted planes (no V-sized gathers);
     # flattening in (vertex, dir) interleave keeps position == canonical eid.
     # One sort by (min-label, max-label, w, eid) over all 4V slots both
     # extracts the live boundary edges and deduplicates each unordered
     # component pair down to its minimum edge — lossless for Boruvka.
-    Lf = gst.L.reshape(-1)
     ew4 = jnp.stack([weights[d] for d in range(4)], axis=-1).reshape(-1)
     la = jnp.stack([gst.L] * 4, axis=-1).reshape(-1)
     lb = jnp.stack(
@@ -691,7 +686,13 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
         merged=jnp.bool_(True), it=jnp.int32(0), bucket=gst.bucket,
         phase=jnp.int32(0), flags=flags0,
     )
+    return st, rm, r0
 
+
+def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
+              nb: int) -> CompactState:
+    """All stage-2 compact rounds: 2 warmup rounds, recompact, main phase."""
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
     # NOTE: live head/pair counts do NOT shrink with felz convergence
     # (non-merging components keep live boundary edges and stay heads every
     # round), so the component capacity must hold the stage-entry bound
@@ -708,14 +709,33 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
         flags=st.flags
         | jnp.where(rec_ovf, jnp.int32(FLAG_RECOMPACT_OVERFLOW), jnp.int32(0))
     )
-    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, s2_iters,
-                   thresholds, nb, with_minsize=cfg.min_size > 1)
+    return _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, s2_iters,
+                     thresholds, nb, with_minsize=cfg.min_size > 1)
 
-    # ---- final labels: stage-G labels through the stage-2 root map.
+
+def _final_map(gst: GossipState, st: CompactState, rm, r0):
+    """Stage-G labels through the stage-2 root map -> final (H, W) labels."""
+    h, w = gst.L.shape
+    v = h * w
     P = jnp.arange(v, dtype=jnp.int32).at[jnp.where(rm, r0, v)].set(
         st.fin, mode="drop"
     )
-    return P[Lf].reshape(h, w), st.flags
+    return P[gst.L.reshape(-1)].reshape(h, w)
+
+
+def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
+                       gossip_rounds: int = 4):
+    """(H, W, 3) -> (labels, flags): (H, W) int32 canonical (min-vertex-id)
+    labels plus a () int32 FLAG_* bitmask — nonzero means a capacity or
+    sweep-budget violation occurred and the labels must not be trusted
+    (`segment_turbo` checks it and raises / falls back)."""
+    h, w = image.shape[0], image.shape[1]
+    v = h * w
+    gst, weights, thresholds = _stage_g(image, cfg, gossip_rounds)
+    nb = max(cfg.weight_buckets, 1)
+    st, rm, r0 = _extract_stage(gst, weights, cfg)
+    st = _s2_stage(st, v, cfg, thresholds, nb)
+    return _final_map(gst, st, rm, r0), st.flags
 
 
 segment_turbo_flagged = jax.jit(
