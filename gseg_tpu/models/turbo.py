@@ -150,54 +150,66 @@ def _compmin_gossip(L, bw, be, sz, max_sweeps):
     return st[0], st[1], st[2], st[3]
 
 
-def _label_gossip(L, allow8, idf, max_sweeps):
-    """Min-label flood over allowed adjacency; Int max-gossip rides along."""
+def _label_gossip(L, allow8, idf, dist, max_sweeps):
+    """Min-label flood over allowed adjacency; Int max-gossip and BFS dist
+    ride along in the same fixpoint.
+
+    dist semantics: adopting a strictly smaller label overwrites dist with
+    the source neighbor's dist+1; equal labels relax (min). Staleness
+    argument for exactness at the fixpoint: labels only decrease, so if a
+    pixel's final label came from neighbor n, n's label never dropped below
+    it afterwards (else the pixel would have adopted again) — n's dist at
+    the fixpoint under-bounds the stored dist, and the relax rule closes the
+    gap, so dist converges to the exact BFS level from the new cluster root
+    over the flood adjacency."""
     def sweep(st):
-        Lc, idf, _, i = st
+        Lc, idf, dist, _, i = st
         nL = _shifts8(Lc, INT32_MAX)
         nid = _shifts8(idf, 0.0)
-        L0, id0 = Lc, idf
+        nds = _shifts8(dist, BIGDIST)
+        L0, id0, d0 = Lc, idf, dist
         for d in range(8):
-            Lc = jnp.where(allow8[d] & (nL[d] < Lc), nL[d], Lc)
+            cand = jnp.where(nds[d] >= BIGDIST, BIGDIST, nds[d] + 1)
+            adopt = allow8[d] & (nL[d] < Lc)
+            relax = allow8[d] & (nL[d] == Lc) & (cand < dist)
+            dist = jnp.where(adopt | relax, cand, dist)
+            Lc = jnp.where(adopt, nL[d], Lc)
             idf = jnp.where(allow8[d] & (nid[d] > idf), nid[d], idf)
-        changed = jnp.any((L0 != Lc) | (id0 != idf))
-        return Lc, idf, changed, i + jnp.int32(1)
+        changed = jnp.any((L0 != Lc) | (id0 != idf) | (d0 != dist))
+        return Lc, idf, dist, changed, i + jnp.int32(1)
 
-    st = (L, idf, jnp.bool_(True), jnp.int32(0))
-    st = jax.lax.while_loop(lambda s: s[2] & (s[3] < max_sweeps), sweep, st)
-    return st[0], st[1], st[2]
+    st = (L, idf, dist, jnp.bool_(True), jnp.int32(0))
+    st = jax.lax.while_loop(lambda s: s[3] & (s[4] < max_sweeps), sweep, st)
+    return st[0], st[1], st[2], st[3]
 
 
-def _size_convergecast(L, vid, max_sweeps):
-    """Exact component pixel-count at the canonical root pixel.
+def _value_flood(L, val, max_sweeps):
+    """Min-value broadcast within same-L regions (XLA sweeps).
+    Returns (val, unconverged)."""
+    def sweep(st):
+        val, _, i = st
+        nL = _shifts8(L, -1)
+        nv = _shifts8(val, INT32_MAX)
+        v0 = val
+        for d in range(8):
+            val = jnp.where((nL[d] == L) & (nv[d] < val), nv[d], val)
+        return val, jnp.any(v0 != val), i + jnp.int32(1)
 
-    dist-gossip (BFS levels from the root) -> parent directions -> iterated
-    subtree sums. s(root) converges to |C| in tree-depth sweeps; all dense.
-    Returns (sizes, unconverged).
+    val, unconv, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < max_sweeps), sweep,
+        (val, jnp.bool_(True), jnp.int32(0)),
+    )
+    return val, unconv
+
+
+def _subtree_sizes(L, dist, max_sweeps):
+    """Exact component pixel-count at the canonical root pixel, given the
+    converged BFS levels from the root (computed during the label flood).
+
+    parent directions -> iterated subtree sums. s(root) converges to |C| in
+    tree-depth sweeps; all dense. Returns (sizes, unconverged).
     """
     h, w = L.shape
-
-    dist = jnp.where(L == vid, jnp.int32(0), BIGDIST)
-
-    if _use_pallas():
-        from ..ops.pallas import gossip as pg
-
-        dist, unconv = pg.dist_gossip(L, dist, max_sweeps)
-    else:
-        def dsweep(st):
-            dist, _, i = st
-            nL = _shifts8(L, -1)
-            nd = _shifts8(dist, BIGDIST)
-            d0 = dist
-            for d in range(8):
-                cand = jnp.where(nd[d] >= BIGDIST, BIGDIST, nd[d] + 1)
-                dist = jnp.where((nL[d] == L) & (cand < dist), cand, dist)
-            return dist, jnp.any(d0 != dist), i + jnp.int32(1)
-
-        dist, unconv, _ = jax.lax.while_loop(
-            lambda s: s[1] & (s[2] < max_sweeps), dsweep,
-            (dist, jnp.bool_(True), jnp.int32(0)),
-        )
 
     # parent dir: first dir whose same-L neighbor has dist == mine - 1.
     nL = _shifts8(L, -1)
@@ -213,7 +225,7 @@ def _size_convergecast(L, vid, max_sweeps):
         from ..ops.pallas import gossip as pg
 
         s, sub_unconv = pg.subtree_sums(pdir, s0, max_sweeps)
-        return s, unconv | sub_unconv
+        return s, sub_unconv
 
     rev = [4, 5, 6, 7, 0, 1, 2, 3]  # reverse direction index
 
@@ -231,7 +243,7 @@ def _size_convergecast(L, vid, max_sweeps):
         lambda st: st[1] & (st[2] < max_sweeps), ssweep,
         (s0, jnp.bool_(True), jnp.int32(0)),
     )
-    return s, unconv | sub_unconv
+    return s, sub_unconv
 
 
 def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
@@ -280,19 +292,25 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
     hook8 = allow8 & (nbrL != L[None])
     used_w8 = jnp.where(hook8, jnp.where(jnp.isfinite(w8), w8, 0.0), 0.0)
     id_init = jnp.maximum(ID, jnp.max(used_w8, axis=0))
+    # BFS dist rides the flood: seeded 0 at current roots; the new cluster
+    # root (an old root that keeps its label) retains 0, absorbed roots get
+    # overwritten on adoption.
+    dist0 = jnp.where(L == vid, jnp.int32(0), BIGDIST)
     if _use_pallas():
         from ..ops.pallas import gossip as pg
 
         markp = jnp.zeros_like(L)
         for d in range(4):
             markp = markp | (new_mark4[d].astype(jnp.int32) << d)
-        Lnew, IDnew, lab_unconv = pg.label_gossip(
-            L, markp, L, id_init, max_sweeps
+        Lnew, IDnew, dist, lab_unconv = pg.label_gossip(
+            L, markp, L, id_init, dist0, max_sweeps
         )
     else:
-        Lnew, IDnew, lab_unconv = _label_gossip(L, allow8, id_init, max_sweeps)
+        Lnew, IDnew, dist, lab_unconv = _label_gossip(
+            L, allow8, id_init, dist0, max_sweeps
+        )
 
-    Snew, size_unconv = _size_convergecast(Lnew, vid, max_sweeps)
+    Snew, size_unconv = _subtree_sizes(Lnew, dist, max_sweeps)
 
     unconv = unconv | lab_unconv | size_unconv
     flags = state.flags | jnp.where(
@@ -713,14 +731,28 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
                      thresholds, nb, with_minsize=cfg.min_size > 1)
 
 
-def _final_map(gst: GossipState, st: CompactState, rm, r0):
-    """Stage-G labels through the stage-2 root map -> final (H, W) labels."""
+def _final_map(gst: GossipState, st: CompactState, rm, r0, max_sweeps):
+    """Stage-G labels through the stage-2 root map -> final (H, W) labels.
+
+    A V-sized random gather (P[L]) costs ~7 ns/index on TPU (~60 ms @4K), so
+    instead the final label is scattered onto each component's ROOT PIXEL
+    (canonical labels: the root pixel's flat index == the component label)
+    and flooded to the rest of the component with dense min-value sweeps —
+    comp_cap scatter lanes + a few strip passes.
+    Returns (labels, unconverged)."""
     h, w = gst.L.shape
     v = h * w
-    P = jnp.arange(v, dtype=jnp.int32).at[jnp.where(rm, r0, v)].set(
-        st.fin, mode="drop"
-    )
-    return P[gst.L.reshape(-1)].reshape(h, w)
+    vid2d = jnp.arange(v, dtype=jnp.int32).reshape(h, w)
+    # Root pixels seed their own label (identity covers components with no
+    # live boundary edge, which never appear in r0); r0 roots get st.fin.
+    seed = jnp.where(gst.L == vid2d, gst.L, INT32_MAX).reshape(-1)
+    seed = seed.at[jnp.where(rm, r0, v)].set(st.fin, mode="drop")
+    seed = seed.reshape(h, w)
+    if _use_pallas():
+        from ..ops.pallas import gossip as pg
+
+        return pg.value_flood(gst.L, seed, max_sweeps)
+    return _value_flood(gst.L, seed, max_sweeps)
 
 
 def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
@@ -735,7 +767,11 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
     nb = max(cfg.weight_buckets, 1)
     st, rm, r0 = _extract_stage(gst, weights, cfg)
     st = _s2_stage(st, v, cfg, thresholds, nb)
-    return _final_map(gst, st, rm, r0), st.flags
+    labels, fm_unconv = _final_map(gst, st, rm, r0, 4 * (h + w))
+    flags = st.flags | jnp.where(
+        fm_unconv, jnp.int32(FLAG_GOSSIP_UNCONVERGED), jnp.int32(0)
+    )
+    return labels, flags
 
 
 segment_turbo_flagged = jax.jit(

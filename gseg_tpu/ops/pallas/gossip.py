@@ -12,9 +12,10 @@ times the traffic of a single step. Net: ~6-7x fewer HBM passes at T=8.
 
 All variants share the strip runner; each supplies a small combine body:
   compmin : lexmin (w, eid) + max(sz) over same-label neighbors
-  label   : min-label flood over same-oldlabel | mark-bit adjacency,
-            with a max-gossip float (Int) riding along
-  dist    : BFS level propagation over same-label neighbors
+  label   : min-label flood over same-oldlabel | mark-bit adjacency, with a
+            max-gossip float (Int) and the BFS level from the new cluster
+            root both riding along in the same fixpoint
+  value   : min-value broadcast within same-label regions (final-map apply)
   subsum  : iterated subtree sums along parent directions
 
 Convergence flags are computed against the pass's initial interior, so the
@@ -220,27 +221,37 @@ def _label_prepare(ro, rows, wp):
 
 
 def _label_step(pre, rw, rows, wp):
+    """Min-label flood with BFS dist riding along: adopting a smaller label
+    overwrites dist with nd+1; equal labels relax dist. At the fixpoint dist
+    is the exact BFS level from the new cluster root (labels only decrease,
+    so a kept label pins its source neighbor's label too — the staleness
+    argument in models/turbo.py _label_gossip)."""
     (allow,) = pre
-    Lc, idf = rw
+    Lc, idf, dist = rw
+    big = jnp.int32(1 << 30)
     for d, (dy, dx) in enumerate(gg.DIRS8):
         ok = ((allow >> d) & 1) > 0
         nL = _nbr(Lc, dy, dx, rows, wp)
         nid = _nbr(idf, dy, dx, rows, wp)
-        Lc = jnp.where(ok & (nL < Lc), nL, Lc)
-        idf = jnp.where(ok & (nid > idf), nid, idf)
-    return Lc, idf
-
-
-def _dist_step(pre, rw, rows, wp):
-    (bits,) = pre
-    (dist,) = rw
-    big = jnp.int32(1 << 30)
-    for d, (dy, dx) in enumerate(gg.DIRS8):
-        same = ((bits >> d) & 1) > 0
         nd = _nbr(dist, dy, dx, rows, wp)
         cand = jnp.where(nd >= big, big, nd + 1)
-        dist = jnp.where(same & (cand < dist), cand, dist)
-    return (dist,)
+        adopt = ok & (nL < Lc)
+        relax = ok & (nL == Lc) & (cand < dist)
+        dist = jnp.where(adopt, cand, jnp.where(relax, cand, dist))
+        Lc = jnp.where(adopt, nL, Lc)
+        idf = jnp.where(ok & (nid > idf), nid, idf)
+    return Lc, idf, dist
+
+
+def _value_step(pre, rw, rows, wp):
+    """Min-value broadcast within same-label regions (final-map apply)."""
+    (bits,) = pre
+    (val,) = rw
+    for d, (dy, dx) in enumerate(gg.DIRS8):
+        same = ((bits >> d) & 1) > 0
+        nv = _nbr(val, dy, dx, rows, wp)
+        val = jnp.where(same & (nv < val), nv, val)
+    return (val,)
 
 
 def _subsum_prepare(ro, rows, wp):
@@ -280,8 +291,10 @@ def compmin_gossip(L, bw, be, sz, max_sweeps):
     return bw, be, sz, unconv
 
 
-def label_gossip(L_old, mark_bits, Lc, idf, max_sweeps):
-    """Returns (Lc, idf, unconverged).
+def label_gossip(L_old, mark_bits, Lc, idf, dist, max_sweeps):
+    """Returns (Lc, idf, dist, unconverged). dist: BFS level from the new
+    cluster root, seeded 0 at old roots / BIG elsewhere (rides the flood —
+    one fused fixpoint instead of a separate dist sweep).
 
     Precondition: mark bits never point across the image boundary (the
     producer guarantees this — an out-of-bounds edge has +inf weight and is
@@ -290,22 +303,28 @@ def label_gossip(L_old, mark_bits, Lc, idf, max_sweeps):
     """
     h, w = L_old.shape
     max_passes = -(-max_sweeps // T)
-    (Lc, idf), unconv = _run_to_fixpoint(
+    (Lc, idf, dist), unconv = _run_to_fixpoint(
         _label_prepare, _label_step, [(L_old, -1), (mark_bits, 0)],
-        [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0)],
+        [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0),
+         (dist, jnp.int32(1 << 30))],
         h, w, max_passes,
     )
-    return Lc, idf, unconv
+    return Lc, idf, dist, unconv
 
 
-def dist_gossip(L, dist, max_sweeps):
-    """Returns (dist, unconverged)."""
+def value_flood(L, val, max_sweeps):
+    """Min-value broadcast within same-L regions. Returns (val, unconverged).
+
+    Used by the turbo final-map apply: the final label is scattered onto each
+    component's root pixel and flooded to the rest — replacing a V-sized
+    random gather (~7 ns/index) with dense sweeps.
+    """
     h, w = L.shape
-    (dist,), unconv = _run_to_fixpoint(
-        _compmin_prepare, _dist_step, [(L, -1)],
-        [(dist, jnp.int32(1 << 30))], h, w, -(-max_sweeps // T),
+    (val,), unconv = _run_to_fixpoint(
+        _compmin_prepare, _value_step, [(L, -1)],
+        [(val, jnp.iinfo(jnp.int32).max)], h, w, -(-max_sweeps // T),
     )
-    return dist, unconv
+    return val, unconv
 
 
 def subtree_sums(pdir, s, max_sweeps):

@@ -69,13 +69,17 @@ def test_label_flood_matches_xla(shape):
             am = gg.shift_plane(jnp.asarray(mark4[d - 4]), -dy, -dx, False)
         allow.append((nbrL[d] == L) | am)
     allow8 = jnp.stack(allow)
-    ref = turbo._label_gossip(L, allow8, idf, ms)
+    # random sparse dist seeds exercise the riding-BFS propagation paths
+    dist0 = jnp.asarray(
+        np.where(rng.random((h, w)) < 0.05, 0, 1 << 30).astype(np.int32)
+    )
+    ref = turbo._label_gossip(L, allow8, idf, dist0, ms)
 
     markp = jnp.zeros((h, w), jnp.int32)
     for d in range(4):
         markp = markp | (jnp.asarray(mark4[d]).astype(jnp.int32) << d)
     with pltpu.force_tpu_interpret_mode():
-        got = pg.label_gossip(L, markp, L, idf, ms)
+        got = pg.label_gossip(L, markp, L, idf, dist0, ms)
     for r, g in zip(ref, got):
         assert np.array_equal(np.asarray(r), np.asarray(g))
 
@@ -111,21 +115,36 @@ def _canonicalize(L2d):
     return lab
 
 
+def _bfs_dist(L, vid, ms):
+    """BFS levels from the root pixel via the riding-dist label flood with
+    same-label-only adjacency (labels already canonical, so no adoption)."""
+    import gseg_tpu.ops.grid_graph as gg
+
+    nbrL = jnp.stack([gg.shift_plane(L, dy, dx, -1) for dy, dx in gg.DIRS8])
+    allow8 = nbrL == L[None]
+    dist0 = jnp.where(L == vid, jnp.int32(0), jnp.int32(1 << 30))
+    _, _, dist, _ = turbo._label_gossip(
+        L, allow8, jnp.zeros_like(L, jnp.float32), dist0, ms
+    )
+    return dist
+
+
 @pytest.mark.parametrize("shape", SHAPES[:2])
-def test_size_convergecast_matches_xla(shape):
+def test_subtree_sizes_matches_xla(shape):
     h, w = shape
     rng = np.random.default_rng(h * 13 + w)
     L = jnp.asarray(_canonicalize(_rand_labels(rng, h, w, 4)))
     vid = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
     ms = 4 * (h + w)
+    dist = _bfs_dist(L, vid, ms)
 
-    ref_s, ref_unconv = turbo._size_convergecast(L, vid, ms)
+    ref_s, ref_unconv = turbo._subtree_sizes(L, dist, ms)
 
     orig = turbo._use_pallas
     turbo._use_pallas = lambda: True
     try:
         with pltpu.force_tpu_interpret_mode():
-            got_s, got_unconv = turbo._size_convergecast(L, vid, ms)
+            got_s, got_unconv = turbo._subtree_sizes(L, dist, ms)
     finally:
         turbo._use_pallas = orig
     assert np.array_equal(np.asarray(ref_s), np.asarray(got_s))
@@ -136,3 +155,31 @@ def test_size_convergecast_matches_xla(shape):
     for root in np.unique(Ln):
         ry, rx = divmod(int(root), w)
         assert got[ry, rx] == int((Ln == root).sum())
+
+
+@pytest.mark.parametrize("shape", SHAPES[:2])
+def test_value_flood_matches_xla_and_broadcasts(shape):
+    h, w = shape
+    rng = np.random.default_rng(h * 7 + w)
+    L = jnp.asarray(_canonicalize(_rand_labels(rng, h, w, 4)))
+    vid = np.arange(h * w, dtype=np.int32).reshape(h, w)
+    ms = 4 * (h + w)
+    # seed each root pixel with an arbitrary value, sentinel elsewhere
+    Ln = np.asarray(L)
+    seed = np.full((h, w), np.iinfo(np.int32).max, np.int32)
+    vals = {}
+    for root in np.unique(Ln):
+        ry, rx = divmod(int(root), w)
+        vals[int(root)] = int(rng.integers(0, 1 << 20))
+        seed[ry, rx] = vals[int(root)]
+    seed = jnp.asarray(seed)
+
+    ref_v, ref_unconv = turbo._value_flood(L, seed, ms)
+    with pltpu.force_tpu_interpret_mode():
+        got_v, got_unconv = pg.value_flood(L, seed, ms)
+    assert np.array_equal(np.asarray(ref_v), np.asarray(got_v))
+    assert bool(ref_unconv) == bool(got_unconv)
+    # every pixel got its root's value
+    got = np.asarray(got_v)
+    expect = np.vectorize(lambda r: vals[int(r)])(Ln)
+    assert np.array_equal(got, expect)
