@@ -56,7 +56,10 @@ from ..ops import filters
 from ..ops import grid_graph as gg
 from ..ops.primitives import INT32_MAX
 
-BIGDIST = jnp.int32(1 << 30)
+# Host int, deliberately NOT jnp.int32: a module-level eager jnp scalar
+# lives on the default device and every jit lowering that closes over it
+# pays a device->host fetch through the axon tunnel.
+BIGDIST = 1 << 30
 
 
 def _use_pallas() -> bool:
@@ -652,26 +655,42 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     """
     h, w = gst.L.shape
     v = h * w
-    # ---- extraction: live canonical edges -> deduped directed edge list.
-    # Endpoint labels come from dense shifted planes (no V-sized gathers);
-    # flattening in (vertex, dir) interleave keeps position == canonical eid.
-    # One sort by (min-label, max-label, w, eid) over all 4V slots both
-    # extracts the live boundary edges and deduplicates each unordered
-    # component pair down to its minimum edge — lossless for Boruvka.
-    ew4 = jnp.stack([weights[d] for d in range(4)], axis=-1).reshape(-1)
-    la = jnp.stack([gst.L] * 4, axis=-1).reshape(-1)
-    lb = jnp.stack(
-        [_shift(gst.L, dy, dx, -1) for dy, dx in gg.DIRS4], axis=-1
-    ).reshape(-1)
-    eid4 = jnp.arange(4 * v, dtype=jnp.int32)
-    live4 = jnp.isfinite(ew4) & (la != lb) & (lb >= 0)
-    lo = jnp.where(live4, jnp.minimum(la, lb), INT32_MAX)
-    hi = jnp.where(live4, jnp.maximum(la, lb), INT32_MAX)
     # headroom for cross-chunk duplicate pairs (see _chunked_pair_extract).
     pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 24, 16384)
+    extract_ovf = jnp.bool_(False)
+    if _use_pallas():
+        # ---- Pallas path: the boundary_extract kernel does the dense ->
+        # sparse transition on the VPU (run-dedup + in-VMEM stream
+        # compaction), emitting a candidate pool ~16x smaller than the 4V
+        # slot space; the chunked per-pair dedup then runs on the pool.
+        from ..ops.pallas import extract as px
+
+        cap_live = max(
+            v // 2 if cfg.weight_buckets > 0 else v // 4, 1 << 16
+        )
+        lo, hi, ew4, eid4, _, extract_ovf = px.boundary_extract(
+            gst.L, weights, w, cap_live
+        )
+    else:
+        # ---- XLA path: live canonical edges from dense shifted planes
+        # (no V-sized gathers); flattening in (vertex, dir) interleave
+        # keeps position == canonical eid.
+        ew4 = jnp.stack([weights[d] for d in range(4)], axis=-1).reshape(-1)
+        la = jnp.stack([gst.L] * 4, axis=-1).reshape(-1)
+        lb = jnp.stack(
+            [_shift(gst.L, dy, dx, -1) for dy, dx in gg.DIRS4], axis=-1
+        ).reshape(-1)
+        eid4 = jnp.arange(4 * v, dtype=jnp.int32)
+        live4 = jnp.isfinite(ew4) & (la != lb) & (lb >= 0)
+        lo = jnp.where(live4, jnp.minimum(la, lb), INT32_MAX)
+        hi = jnp.where(live4, jnp.maximum(la, lb), INT32_MAX)
+    # One sort by (min-label, max-label, w, eid) both extracts the live
+    # boundary edges and deduplicates each unordered component pair down to
+    # its minimum edge — lossless for Boruvka.
     pm, plo, phi, pw, pe, pair_ovf = _chunked_pair_extract(
         lo, hi, ew4, eid4, pair_cap
     )
+    pair_ovf = pair_ovf | extract_ovf
     plo = jnp.where(pm, plo, 0)
     phi = jnp.where(pm, phi, 0)
     pw = jnp.where(pm, pw, jnp.inf)

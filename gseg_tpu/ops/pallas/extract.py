@@ -1,0 +1,415 @@
+"""Pallas boundary-edge extraction: dense planes -> compacted edge list.
+
+The turbo handoff (models/turbo.py `_extract_stage`) must turn the implicit
+grid graph's 4*V edge slots into the small set of live boundary-edge
+candidates. Any XLA formulation pays a full-size data reorganization
+(lax.sort ~0.6 ns/element-operand: ~150 ms over 33M slots @4K; scatters and
+searchsorted-style gathers are worse at ~7 ns/index — the measured v5e cost
+model in CLAUDE.md). This kernel does the dense->sparse transition on the
+VPU at strip granularity instead:
+
+  1. per strip (S rows resident in VMEM, +1 halo row): compute the four
+     canonical edge planes' (lo, hi, w, eid) and the live mask
+     (finite weight, distinct endpoint labels);
+  2. run-dedup along image rows: maximal same-(lo,hi) runs within a row
+     collapse to ONE representative carrying the run's exact min (w, eid)
+     (a staged segmented min-scan, log2(W) roll stages). Lossless for the
+     downstream per-pair dedup: only a pair's minimum edge can ever matter,
+     and the run minimum is exact. Typical reduction: 5-20x (boundary
+     segments are horizontal runs in >=1 of the 4 planes);
+  3. monotone stream compaction of survivors to the strip front, in flat
+     row-major order, via LSB-first bit-staged shifts: at stage b every
+     survivor whose remaining displacement has bit b moves left by 2^b
+     lanes (rolls with row carry). Displacements delta = position - rank
+     are non-decreasing in position, which makes the staged routing
+     collision-free (after lower bits are cleared, two survivors at
+     distance 2^b would need equal delta but opposite bit b).
+  4. one output DMA per strip at a dynamic 128-lane-aligned offset into the
+     global output buffers; a running offset lives in SMEM across the
+     sequential grid. Strips overlap-overwrite each other's garbage tails;
+     every non-survivor lane is pre-masked to the sentinel (lo=INT32_MAX),
+     so downstream sorts drop them naturally.
+
+Output is a fixed-capacity candidate pool (capacity overflow -> flag, the
+caller falls back / raises per cfg.on_overflow; see turbo FLAG_*). The pool
+feeds the existing chunked per-pair dedup at ~1/16 of its former input.
+
+Reference parity note: this replaces the reference's atomicAdd stream
+compaction of min edges (Report.pdf p.3 §3.1 step 3 / Appendix A Alg. 3)
+with a deterministic, atomic-free design.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import grid_graph as gg
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+LANES = 128
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _roll(x, shift, axis):
+    """pltpu.roll that tolerates bool operands (Mosaic only rotates 32-bit
+    data: masks are rolled as int32 and compared back)."""
+    if x.dtype == jnp.bool_:
+        return pltpu.roll(x.astype(jnp.int32), shift, axis) > 0
+    return pltpu.roll(x, shift, axis)
+
+
+def _roll_read(x, s_lanes, axis1_n, with_row_carry=True):
+    """Value at flat index +s (row-major, `axis1_n` lanes per row).
+
+    s_lanes < axis1_n. Reads past the last row wrap to row 0 — callers mask.
+    """
+    if s_lanes == 0:
+        return x
+    t = _roll(x, (-s_lanes) % axis1_n, 1)
+    if not with_row_carry:
+        return t
+    tn = _roll(t, -1 % x.shape[0], 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(col < axis1_n - s_lanes, t, tn)
+
+
+def _flat_read(x, s, n_lanes):
+    """Value at flat index +s for arbitrary s (rows of n_lanes)."""
+    rows = s // n_lanes
+    rem = s % n_lanes
+    out = x
+    if rows:
+        out = _roll(out, (-rows) % x.shape[0], 0)
+    return _roll_read(out, rem, n_lanes)
+
+
+def _run_dedup_plane(lo, hi, w, eid, live, wp):
+    """Collapse same-(lo,hi) runs along lanes to their min-(w,eid) tail.
+
+    Returns (keep, w_run, eid_run): `keep` marks run tails; at a tail,
+    (w_run, eid_run) is the exact lexmin over the whole run.
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 1)
+    prev = lambda x: _roll(x, 1, 1)
+    same = (
+        live
+        & prev(live)
+        & (lo == prev(lo))
+        & (hi == prev(hi))
+        & (col > 0)
+    )
+    # staged inclusive segmented lexmin-scan: after stage s, each lane holds
+    # the min over the up-to-2s preceding same-run lanes (and itself).
+    wmin, emin, reach = w, eid, same
+    s = 1
+    while s < wp:
+        pw = _roll(wmin, s, 1)
+        pe = _roll(emin, s, 1)
+        take = reach & ((pw < wmin) | ((pw == wmin) & (pe < emin)))
+        wmin = jnp.where(take, pw, wmin)
+        emin = jnp.where(take, pe, emin)
+        if 2 * s < wp:
+            reach = reach & _roll(reach, s, 1)
+        s *= 2
+    nxt_same = _roll(same, (-1) % wp, 1)  # does lane i+1 continue my run
+    keep = live & jnp.logical_not(nxt_same & (col < wp - 1))
+    return keep, wmin, emin
+
+
+def _lane_excl_cumsum(x, wp):
+    """Exclusive prefix sum along lanes (int32)."""
+    acc = x
+    s = 1
+    while s < wp:
+        sh = pltpu.roll(acc, s, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        acc = acc + jnp.where(col >= s, sh, 0)
+        s *= 2
+    return acc - x
+
+
+def _row_incl_cumsum(col_vec, rows):
+    """Inclusive prefix sum down a (rows, LANES) array's rows (value
+    replicated across lanes)."""
+    acc = col_vec
+    s = 1
+    while s < rows:
+        sh = pltpu.roll(acc, s, 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, col_vec.shape, 0)
+        acc = acc + jnp.where(row >= s, sh, 0)
+        s *= 2
+    return acc
+
+
+def _compact_tall(vals, keep, n_rows):
+    """Monotone stream compaction of `keep` lanes to the front of a
+    (n_rows, LANES) tall array, flat row-major order. vals: list of arrays.
+    Masks are carried as int32 0/1 — Mosaic cannot roll or select i1
+    vectors. Returns (compacted vals, compacted keep (bool), total)."""
+    keep_i = keep.astype(jnp.int32)
+    lane_part = _lane_excl_cumsum(keep_i, LANES)
+    row_tot = jnp.sum(keep_i, axis=1, keepdims=True)
+    row_tot = jnp.broadcast_to(row_tot, keep.shape)
+    row_incl = _row_incl_cumsum(row_tot, n_rows)
+    row_excl = row_incl - row_tot
+    rank = row_excl + lane_part
+    row = jax.lax.broadcasted_iota(jnp.int32, keep.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, keep.shape, 1)
+    flat = row * LANES + col
+    delta = jnp.where(keep, flat - rank, 0)
+    total = jnp.max(row_incl[n_rows - 1 : n_rows, :])
+
+    n = n_rows * LANES
+    s = 1
+    b = 0
+    while s < n:
+        bit = (delta >> b) & 1
+        moving_i = keep_i * bit
+        arr_i = _flat_read(moving_i, s, LANES)
+        arriving = (arr_i > 0) & (flat < n - s)
+        new_vals = []
+        for v in vals:
+            av = _flat_read(v, s, LANES)
+            new_vals.append(jnp.where(arriving, av, v))
+        vals = new_vals
+        a_delta = _flat_read(delta, s, LANES) - s
+        delta = jnp.where(arriving, a_delta, delta)
+        keep_i = jnp.where(arriving, 1, keep_i * (1 - bit))
+        s *= 2
+        b += 1
+    return vals, keep_i > 0, total
+
+
+def _extract_kernel(L_ref, w_ref, lo_ref, hi_ref, wout_ref, eid_ref,
+                    meta_ref, off_sm, sems, *, h, w, s_rows, wp, cap_rows,
+                    win_rows):
+    """One strip: build live edges, run-dedup, compact, DMA out.
+
+    Output DMAs go out in `win_rows`-row windows — only the windows that
+    actually contain survivors are sent, so a dense strip emits everything
+    (no staging-window truncation) while a sparse strip costs one DMA.
+    """
+    i = pl.program_id(0)
+    nstrips = pl.num_programs(0)
+    tall = 4 * s_rows * wp // LANES
+    n_win = _cdiv(tall, win_rows)
+
+    @pl.when(i == 0)
+    def _():
+        off_sm[0] = 0
+        off_sm[1] = 0  # overflow flag
+
+    def body(Lslab, wslab, stage):
+        # halo is 1 row, but Mosaic requires 8-aligned sublane slice shapes
+        cpL = pltpu.make_async_copy(
+            L_ref.at[pl.ds(i * s_rows, s_rows + 8), :], Lslab, sems.at[0]
+        )
+        cpW = pltpu.make_async_copy(
+            w_ref.at[:, pl.ds(i * s_rows, s_rows), :], wslab, sems.at[1]
+        )
+        cpL.start()
+        cpW.start()
+        cpL.wait()
+        cpW.wait()
+
+        Ls = Lslab[:]
+        col = jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 1)
+        rowg = (
+            jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 0)
+            + i * s_rows
+        )
+        anchor = rowg * w + col
+
+        la = Ls[:s_rows, :]
+        # row+1 neighbor via roll (a dy=1 slice offset would be unaligned)
+        Ls_dn = _roll(Ls, (-1) % (s_rows + 8), 0)[:s_rows, :]
+        keeps, los, his, ws, eids = [], [], [], [], []
+        for d, (dy, dx) in enumerate(gg.DIRS4):
+            lb = Ls_dn if dy else la
+            if dx:
+                lb = pltpu.roll(lb, (-dx) % wp, 1)
+            wd = wslab[d, :, :]
+            live = (
+                (la != lb)
+                & (wd < jnp.float32(jnp.inf))
+                & (rowg < h)
+                & (col < w)
+            )
+            lo = jnp.where(live, jnp.minimum(la, lb), INT32_MAX)
+            hi = jnp.where(live, jnp.maximum(la, lb), INT32_MAX)
+            eid = anchor * 4 + d
+            keep, wrun, erun = _run_dedup_plane(lo, hi, wd, eid, live, wp)
+            keeps.append(keep)
+            los.append(lo)
+            his.append(hi)
+            ws.append(wrun)
+            eids.append(erun)
+
+        keep = jnp.concatenate(keeps, axis=0)
+        lo = jnp.where(keep, jnp.concatenate(los, axis=0), INT32_MAX)
+        hi = jnp.where(keep, jnp.concatenate(his, axis=0), INT32_MAX)
+        wv = jnp.where(
+            keep, jnp.concatenate(ws, axis=0), jnp.float32(jnp.inf)
+        )
+        eid = jnp.where(keep, jnp.concatenate(eids, axis=0), INT32_MAX)
+
+        # (4*s_rows, wp) -> (tall, LANES) row-major relayout; the mask is
+        # re-derived from the sentinel (Mosaic can't reshape i1 vectors).
+        lo = lo.reshape(tall, LANES)
+        hi = hi.reshape(tall, LANES)
+        wv = wv.reshape(tall, LANES)
+        eid = eid.reshape(tall, LANES)
+        keep = lo != INT32_MAX
+
+        (lo, hi, wv, eid), kept, total = _compact_tall(
+            [lo, hi, wv, eid], keep, tall
+        )
+        stage[0][:, :] = jnp.where(kept, lo, INT32_MAX)
+        stage[1][:, :] = jnp.where(kept, hi, INT32_MAX)
+        stage[2][:, :] = jnp.where(kept, wv, jnp.float32(jnp.inf))
+        stage[3][:, :] = jnp.where(kept, eid, INT32_MAX)
+
+        off = off_sm[0]
+        used_rows = _cdiv_t(total)
+        out_over = off + used_rows > cap_rows
+        for j in range(n_win):  # static unroll; dynamic skip per window
+            @pl.when(j * win_rows < used_rows)
+            def _(j=j):
+                sj = jnp.clip(
+                    off + j * win_rows, 0, cap_rows - win_rows
+                )
+                cps = []
+                for a, ref in enumerate(
+                    (lo_ref, hi_ref, wout_ref, eid_ref)
+                ):
+                    cp = pltpu.make_async_copy(
+                        stage[a].at[pl.ds(j * win_rows, win_rows), :],
+                        ref.at[pl.ds(sj, win_rows), :],
+                        sems.at[2 + a],
+                    )
+                    cp.start()
+                    cps.append(cp)
+                for cp in cps:
+                    cp.wait()
+
+        off_sm[0] = jnp.minimum(off + used_rows, jnp.int32(cap_rows))
+        off_sm[1] = off_sm[1] | jnp.where(
+            out_over, jnp.int32(1), jnp.int32(0)
+        )
+
+        @pl.when(i == nstrips - 1)
+        def _():
+            meta_ref[0, 0] = off_sm[0] * LANES
+            meta_ref[0, 1] = off_sm[1]
+
+    pl.run_scoped(
+        body,
+        Lslab=pltpu.VMEM((s_rows + 8, wp), jnp.int32),
+        wslab=pltpu.VMEM((4, s_rows, wp), jnp.float32),
+        stage=[
+            pltpu.VMEM((tall, LANES), jnp.int32),
+            pltpu.VMEM((tall, LANES), jnp.int32),
+            pltpu.VMEM((tall, LANES), jnp.float32),
+            pltpu.VMEM((tall, LANES), jnp.int32),
+        ],
+    )
+
+
+def _cdiv_t(total):
+    return (total + LANES - 1) // LANES
+
+
+def _pick_srows(wp: int) -> int:
+    """Strip height: ~20 (4*S, wp)-sized arrays live concurrently (slabs,
+    run-dedup fields, 6 compaction arrays + roll temporaries, 4 staging);
+    budget ~10 MB."""
+    budget = 10 * 1024 * 1024
+    per_row = wp * 4 * 4 * 20
+    s = max(budget // per_row, 4)
+    return min(max(int(s) // 4 * 4, 4), 64)
+
+
+@functools.partial(jax.jit, static_argnames=("w_true", "cap"))
+def boundary_extract(L, weights, w_true: int, cap: int):
+    """Compacted live boundary-edge candidates from dense planes.
+
+    L: (H, W) int32 canonical labels. weights: (4, H, W) float32 (+inf
+    invalid). cap: output capacity (multiple of 128).
+
+    Returns (lo, hi, w, eid, count, overflow): (cap,) arrays where dead
+    slots carry lo=hi=eid=INT32_MAX / w=+inf, a () int32 count upper bound
+    of live entries, and a () bool overflow (output truncated — caller must
+    treat the result as invalid).
+
+    Every (lo, hi) pair's exact minimum (w, eid) edge survives (run minima
+    are exact; cross-run duplicates are kept). Downstream per-pair dedup
+    treats the pool as a multigraph, so duplicates only cost capacity.
+    """
+    h, w = L.shape
+    wp = _cdiv(w, LANES) * LANES
+    s_rows = _pick_srows(wp)
+    hp = _cdiv(h, s_rows) * s_rows
+    nstrips = hp // s_rows
+    cap_rows = cap // LANES
+    tall = 4 * s_rows * wp // LANES
+    # DMA window: ~1 window per typical strip, <=8 for fully-dense strips.
+    win_rows = min(max(_cdiv(tall, 8), 8), cap_rows)
+
+    Lp = jnp.pad(L, ((0, hp - h + 8), (0, wp - w)), constant_values=-1)
+    wpad = jnp.pad(
+        weights,
+        ((0, 0), (0, hp - h), (0, wp - w)),
+        constant_values=jnp.inf,
+    )
+
+    kernel = functools.partial(
+        _extract_kernel, h=h, w=w, s_rows=s_rows, wp=wp,
+        cap_rows=cap_rows, win_rows=win_rows,
+    )
+    lo, hi, wv, eid, meta = pl.pallas_call(
+        kernel,
+        grid=(nstrips,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((cap_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((cap_rows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((cap_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(Lp, wpad)
+    count = meta[0, 0]
+    overflow = meta[0, 1] > 0
+    # lanes past each strip's survivors are sentinel-masked in VMEM before
+    # the DMA, but the buffer tail past the LAST strip's staging window was
+    # never written at all: mask everything at or past `count`.
+    idx = jnp.arange(cap_rows * LANES, dtype=jnp.int32)
+    written = idx < count
+    lo = jnp.where(written, lo.reshape(-1), INT32_MAX)
+    hi = jnp.where(written, hi.reshape(-1), INT32_MAX)
+    wv = jnp.where(written, wv.reshape(-1), jnp.inf)
+    eid = jnp.where(written, eid.reshape(-1), INT32_MAX)
+    return lo, hi, wv, eid, count, overflow

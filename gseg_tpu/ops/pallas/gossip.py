@@ -92,9 +92,16 @@ def _strip_call(prepare_fn, step_fn, ro_fields, rw_fields, h, w, s_rows):
     def kernel(*refs):
         in_refs = refs[:n_ro + n_rw]
         out_refs = refs[n_ro + n_rw : n_ro + 2 * n_rw]
-        scratch = refs[n_ro + 2 * n_rw : n_ro + 2 * n_rw + n_ro + n_rw]
+        meta_ref = refs[n_ro + 2 * n_rw]
+        scratch = refs[n_ro + 2 * n_rw + 1 : -2]
+        acc = refs[-2]
         sems = refs[-1]
         i = pl.program_id(0)
+        nstrips_ = pl.num_programs(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc[0] = 0
 
         cps = []
         for j in range(n_ro + n_rw):
@@ -116,19 +123,37 @@ def _strip_call(prepare_fn, step_fn, ro_fields, rw_fields, h, w, s_rows):
 
         rw = jax.lax.fori_loop(0, T, step, tuple(rw))
 
+        # in-kernel convergence: compare the interior against the input slab
+        # (still intact in scratch) — saves re-reading old+new in XLA.
+        # Pad rows/cols are excluded (sentinel-filled pads can flip once).
+        rowg = (
+            jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 0) + i * s_rows
+        )
+        colg = jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 1)
+        valid = (rowg < h) & (colg < w)
+        changed = jnp.int32(0)
         for j in range(n_rw):
             out_refs[j][:] = rw[j][T : T + s_rows, :]
+            diff = rw[j][T : T + s_rows, :] != scratch[n_ro + j][
+                T : T + s_rows, :
+            ]
+            changed = changed | jnp.max((diff & valid).astype(jnp.int32))
+        acc[0] = acc[0] | changed
+
+        @pl.when(i == nstrips_ - 1)
+        def _():
+            meta_ref[0, 0] = acc[0]
 
     out_shapes = [
         jax.ShapeDtypeStruct((hp, wp), x.dtype) for x, _ in rw_fields
-    ]
+    ] + [jax.ShapeDtypeStruct((1, 1), jnp.int32)]
     out_specs = [
         pl.BlockSpec((s_rows, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
         for _ in range(n_rw)
-    ]
+    ] + [pl.BlockSpec(memory_space=pltpu.SMEM)]
     scratch_shapes = [
         pltpu.VMEM((slab, wp), x.dtype) for x, _ in ro_fields + rw_fields
-    ] + [pltpu.SemaphoreType.DMA((n_ro + n_rw,))]
+    ] + [pltpu.SMEM((1,), jnp.int32), pltpu.SemaphoreType.DMA((n_ro + n_rw,))]
 
     outs = pl.pallas_call(
         kernel,
@@ -139,11 +164,7 @@ def _strip_call(prepare_fn, step_fn, ro_fields, rw_fields, h, w, s_rows):
         scratch_shapes=scratch_shapes,
     )(*ins)
     new_rw = [o[:h, :w] for o in outs[:n_rw]]
-    # convergence check in XLA (one dense compare per field; the kernel
-    # cannot emit tiny per-strip outputs given Mosaic block constraints).
-    changed = jnp.bool_(False)
-    for (old, _), new in zip(rw_fields, new_rw):
-        changed = jnp.logical_or(changed, jnp.any(old != new))
+    changed = outs[n_rw][0, 0] > 0
     return new_rw, changed
 
 

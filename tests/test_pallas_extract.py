@@ -1,0 +1,104 @@
+"""boundary_extract kernel vs a NumPy reference, on CPU (interpret mode).
+
+Checks the lossless-extraction contract (models/turbo.py handoff): for every
+unordered component pair (lo, hi) present in the dense planes, the pair's
+exact minimum (w, eid) edge must appear in the output pool; every output
+entry must be a real live boundary edge; sentinel lanes carry
+lo=hi=eid=INT32_MAX / w=+inf.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+import gseg_tpu.ops.grid_graph as gg
+from gseg_tpu.ops.pallas.extract import boundary_extract
+
+INT32_MAX = np.iinfo(np.int32).max
+
+
+def _dense_planes(rng, h, w, ncomp):
+    """Random canonical-ish label field + weight planes with +inf invalid."""
+    L = rng.integers(0, ncomp, (h, w)).astype(np.int32)
+    weights = rng.uniform(0.5, 9.0, (4, h, w)).astype(np.float32)
+    for d, (dy, dx) in enumerate(gg.DIRS4):
+        va = np.asarray(gg.valid_plane(h, w, dy, dx))
+        weights[d][~va] = np.inf
+    return L, weights
+
+
+def _reference_pairs(L, weights):
+    """Exact min (w, eid) per unordered live pair, plus the full live set."""
+    h, w = L.shape
+    best = {}
+    live = set()
+    for d, (dy, dx) in enumerate(gg.DIRS4):
+        for y in range(h):
+            for x in range(w):
+                if not np.isfinite(weights[d, y, x]):
+                    continue
+                la = int(L[y, x])
+                lb = int(L[y + dy, x + dx])
+                if la == lb:
+                    continue
+                key = (min(la, lb), max(la, lb))
+                eid = (y * w + x) * 4 + d
+                cand = (float(weights[d, y, x]), eid)
+                live.add(key + cand)
+                if key not in best or cand < best[key]:
+                    best[key] = cand
+    return best, live
+
+
+@pytest.mark.parametrize("shape,ncomp", [((13, 70), 5), ((24, 150), 9),
+                                         ((8, 128), 3)])
+def test_boundary_extract_lossless(shape, ncomp):
+    h, w = shape
+    rng = np.random.default_rng(h * 31 + w)
+    L, weights = _dense_planes(rng, h, w, ncomp)
+    cap = 1 << 14
+
+    with pltpu.force_tpu_interpret_mode():
+        lo, hi, wv, eid, count, overflow = boundary_extract(
+            jnp.asarray(L), jnp.asarray(weights), w, cap
+        )
+    lo, hi, wv, eid = (np.asarray(x) for x in (lo, hi, wv, eid))
+    assert not bool(overflow)
+    n = int(count)
+    assert n <= cap
+
+    best, live = _reference_pairs(L, weights)
+
+    got = set()
+    for i in range(cap):
+        if lo[i] == INT32_MAX:
+            assert hi[i] == INT32_MAX and eid[i] == INT32_MAX
+            assert not np.isfinite(wv[i])
+            continue
+        assert i < n  # live entries only below the reported count
+        got.add((int(lo[i]), int(hi[i]), float(wv[i]), int(eid[i])))
+
+    # every output entry is a real live boundary edge
+    assert got <= live
+    # the exact pair minimum survives for every pair
+    for (plo, phi), (pw, pe) in best.items():
+        assert (plo, phi, pw, pe) in got, (plo, phi, pw, pe)
+
+
+def test_boundary_extract_overflow_flag():
+    h, w = 16, 128
+    rng = np.random.default_rng(0)
+    # checkerboard labels: every edge live, no runs to dedup
+    L = ((np.indices((h, w)).sum(axis=0) % 2) * (h * w)
+         + np.arange(h * w).reshape(h, w)).astype(np.int32)
+    weights = rng.uniform(0.5, 9.0, (4, h, w)).astype(np.float32)
+    for d, (dy, dx) in enumerate(gg.DIRS4):
+        va = np.asarray(gg.valid_plane(h, w, dy, dx))
+        weights[d][~va] = np.inf
+    with pltpu.force_tpu_interpret_mode():
+        *_, overflow = boundary_extract(
+            jnp.asarray(L), jnp.asarray(weights), w, 256
+        )
+    assert bool(overflow)

@@ -176,3 +176,28 @@ def test_chunked_pair_extract_matches_flat_dedup():
         if key not in got or cur < got[key]:
             got[key] = cur
     assert got == best
+
+
+def test_full_pipeline_pallas_path_matches_oracle():
+    """End-to-end turbo with the Pallas kernels forced (interpret mode):
+    the production TPU path (boundary_extract pool + gossip strip kernels)
+    must produce the oracle partition, same as the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gseg_tpu.models import turbo as turbo_mod
+
+    cfg = SegmentationConfig(k=100.0, min_size=8)
+    img = blobs_image(24, 40, 5, 6.0, 7)
+    expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
+
+    orig = turbo_mod._use_pallas
+    turbo_mod._use_pallas = lambda: True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got, flags = turbo_mod.segment_turbo_impl(
+                jnp.asarray(img), cfg, 4
+            )
+    finally:
+        turbo_mod._use_pallas = orig
+    assert int(flags) == 0
+    assert np.array_equal(expected, np.asarray(got))
