@@ -113,20 +113,19 @@ def segment_hierarchy(image, sigma=0.8, k=300.0, min_size=100,
     cfg = config or SegmentationConfig(
         sigma=sigma, k=k, min_size=min_size, algorithm=algorithm
     )
-    # Hierarchy routing substitutes paths (turbo currently routes through
-    # fastmst), so the routed path must honor the bucket ramp too.
-    route = "fastmst" if cfg.algorithm == "turbo" else cfg.algorithm
-    _check_weight_buckets(cfg, route)
+    _check_weight_buckets(cfg, cfg.algorithm)
     image = np.asarray(image)
+    if cfg.algorithm == "turbo":
+        from .models.turbo import segment_turbo_hierarchy
+        import jax.numpy as jnp
+
+        return segment_turbo_hierarchy(jnp.asarray(image), cfg)
     if cfg.algorithm in ("atomic", "atomic_hostsync"):
         from .models.atomic_boruvka import segment_atomic_hierarchy
         import jax.numpy as jnp
 
         return segment_atomic_hierarchy(jnp.asarray(image), cfg)
-    if cfg.algorithm in ("fastmst", "turbo"):
-        # hierarchy capture needs per-round label maps; the fastmst path
-        # produces the identical partition sequence (both match the
-        # sequential oracle), so it serves as turbo's hierarchy mode.
+    if cfg.algorithm == "fastmst":
         from .models.fastmst import segment_fastmst_hierarchy
         import jax.numpy as jnp
 

@@ -76,6 +76,28 @@ def _shifts8(x, fill):
     return [_shift(x, dy, dx, fill) for dy, dx in gg.DIRS8]
 
 
+class Comm(NamedTuple):
+    """Communication hooks for the XLA sweep helpers.
+
+    The dense default runs everything on one device. parallel/turbo_spatial
+    substitutes halo-exchange shifts (`lax.ppermute` row halos across a
+    row-sharded mesh) and `psum` reductions, turning the same sweep code
+    into the explicit-collectives multi-chip path (SURVEY.md §7 Layer F).
+    `dense` gates the Pallas kernels (single-device layout only).
+    """
+    shift: object       # (x, dy, dx, fill) -> plane
+    shifts8: object     # (x, fill) -> list of 8 planes (DIRS8 order)
+    reduce_any: object  # () bool local -> () bool global
+    reduce_sum: object  # () int local -> () int global
+    dense: bool
+
+
+_DENSE_COMM = Comm(
+    shift=_shift, shifts8=_shifts8,
+    reduce_any=lambda x: x, reduce_sum=lambda x: x, dense=True,
+)
+
+
 # ---------------------------------------------------------------------------
 # Stage G: gossip rounds
 # ---------------------------------------------------------------------------
@@ -118,8 +140,8 @@ def bucket_thresholds(weights: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
     return out.at[num_buckets - 1].set(jnp.inf)
 
 
-def _vertex_min_outgoing(L, w8, eid8, tau=jnp.inf):
-    nbrL = jnp.stack(_shifts8(L, -1))
+def _vertex_min_outgoing(L, w8, eid8, tau=jnp.inf, comm=_DENSE_COMM):
+    nbrL = jnp.stack(comm.shifts8(L, -1))
     outgoing = jnp.logical_and(nbrL != L[None], w8 <= tau)
     w = jnp.where(outgoing, w8, jnp.inf)
     vminw = jnp.min(w, axis=0)
@@ -129,14 +151,14 @@ def _vertex_min_outgoing(L, w8, eid8, tau=jnp.inf):
     return vminw, veid, nbrL
 
 
-def _compmin_gossip(L, bw, be, sz, max_sweeps):
+def _compmin_gossip(L, bw, be, sz, max_sweeps, comm=_DENSE_COMM):
     """Lexmin (bw, be) + max (sz) propagation among same-L neighbors."""
     def sweep(st):
         bw, be, sz, _, i = st
-        nL = _shifts8(L, -1)
-        nbw = _shifts8(bw, jnp.inf)
-        nbe = _shifts8(be, INT32_MAX)
-        nsz = _shifts8(sz, 0)
+        nL = comm.shifts8(L, -1)
+        nbw = comm.shifts8(bw, jnp.inf)
+        nbe = comm.shifts8(be, INT32_MAX)
+        nsz = comm.shifts8(sz, 0)
         bw0, be0, sz0 = bw, be, sz
         for d in range(8):
             same = nL[d] == L
@@ -144,7 +166,9 @@ def _compmin_gossip(L, bw, be, sz, max_sweeps):
             bw = jnp.where(take, nbw[d], bw)
             be = jnp.where(take, nbe[d], be)
             sz = jnp.where(same & (nsz[d] > sz), nsz[d], sz)
-        changed = jnp.any((bw0 != bw) | (be0 != be) | (sz0 != sz))
+        changed = comm.reduce_any(
+            jnp.any((bw0 != bw) | (be0 != be) | (sz0 != sz))
+        )
         return bw, be, sz, changed, i + jnp.int32(1)
 
     st = (bw, be, sz, jnp.bool_(True), jnp.int32(0))
@@ -153,7 +177,7 @@ def _compmin_gossip(L, bw, be, sz, max_sweeps):
     return st[0], st[1], st[2], st[3]
 
 
-def _label_gossip(L, allow8, idf, dist, max_sweeps):
+def _label_gossip(L, allow8, idf, dist, max_sweeps, comm=_DENSE_COMM):
     """Min-label flood over allowed adjacency; Int max-gossip and BFS dist
     ride along in the same fixpoint.
 
@@ -167,9 +191,9 @@ def _label_gossip(L, allow8, idf, dist, max_sweeps):
     over the flood adjacency."""
     def sweep(st):
         Lc, idf, dist, _, i = st
-        nL = _shifts8(Lc, INT32_MAX)
-        nid = _shifts8(idf, 0.0)
-        nds = _shifts8(dist, BIGDIST)
+        nL = comm.shifts8(Lc, INT32_MAX)
+        nid = comm.shifts8(idf, 0.0)
+        nds = comm.shifts8(dist, BIGDIST)
         L0, id0, d0 = Lc, idf, dist
         for d in range(8):
             cand = jnp.where(nds[d] >= BIGDIST, BIGDIST, nds[d] + 1)
@@ -178,7 +202,9 @@ def _label_gossip(L, allow8, idf, dist, max_sweeps):
             dist = jnp.where(adopt | relax, cand, dist)
             Lc = jnp.where(adopt, nL[d], Lc)
             idf = jnp.where(allow8[d] & (nid[d] > idf), nid[d], idf)
-        changed = jnp.any((L0 != Lc) | (id0 != idf) | (d0 != dist))
+        changed = comm.reduce_any(
+            jnp.any((L0 != Lc) | (id0 != idf) | (d0 != dist))
+        )
         return Lc, idf, dist, changed, i + jnp.int32(1)
 
     st = (L, idf, dist, jnp.bool_(True), jnp.int32(0))
@@ -186,17 +212,17 @@ def _label_gossip(L, allow8, idf, dist, max_sweeps):
     return st[0], st[1], st[2], st[3]
 
 
-def _value_flood(L, val, max_sweeps):
+def _value_flood(L, val, max_sweeps, comm=_DENSE_COMM):
     """Min-value broadcast within same-L regions (XLA sweeps).
     Returns (val, unconverged)."""
     def sweep(st):
         val, _, i = st
-        nL = _shifts8(L, -1)
-        nv = _shifts8(val, INT32_MAX)
+        nL = comm.shifts8(L, -1)
+        nv = comm.shifts8(val, INT32_MAX)
         v0 = val
         for d in range(8):
             val = jnp.where((nL[d] == L) & (nv[d] < val), nv[d], val)
-        return val, jnp.any(v0 != val), i + jnp.int32(1)
+        return val, comm.reduce_any(jnp.any(v0 != val)), i + jnp.int32(1)
 
     val, unconv, _ = jax.lax.while_loop(
         lambda s: s[1] & (s[2] < max_sweeps), sweep,
@@ -205,7 +231,7 @@ def _value_flood(L, val, max_sweeps):
     return val, unconv
 
 
-def _subtree_sizes(L, dist, max_sweeps):
+def _subtree_sizes(L, dist, max_sweeps, comm=_DENSE_COMM):
     """Exact component pixel-count at the canonical root pixel, given the
     converged BFS levels from the root (computed during the label flood).
 
@@ -215,8 +241,8 @@ def _subtree_sizes(L, dist, max_sweeps):
     h, w = L.shape
 
     # parent dir: first dir whose same-L neighbor has dist == mine - 1.
-    nL = _shifts8(L, -1)
-    nd = _shifts8(dist, BIGDIST)
+    nL = comm.shifts8(L, -1)
+    nd = comm.shifts8(dist, BIGDIST)
     pdir = jnp.full((h, w), jnp.int32(8))  # 8 = root / none
     for d in range(7, -1, -1):
         ok = (nL[d] == L) & (nd[d] == dist - 1) & (dist > 0) & (dist < BIGDIST)
@@ -224,7 +250,7 @@ def _subtree_sizes(L, dist, max_sweeps):
 
     # iterated subtree sums: s <- 1 + sum over children.
     s0 = jnp.ones((h, w), jnp.int32)
-    if _use_pallas():
+    if _use_pallas() and comm.dense:
         from ..ops.pallas import gossip as pg
 
         s, sub_unconv = pg.subtree_sums(pdir, s0, max_sweeps)
@@ -234,13 +260,14 @@ def _subtree_sizes(L, dist, max_sweeps):
 
     def ssweep(st):
         s, _, i = st
-        ns = _shifts8(s, 0)
-        npd = _shifts8(pdir, 8)
+        ns = comm.shifts8(s, 0)
+        npd = comm.shifts8(pdir, 8)
         total = jnp.ones_like(s)
         for d in range(8):
             child = npd[d] == rev[d]
             total = total + jnp.where(child, ns[d], 0)
-        return total, jnp.any(total != s), i + jnp.int32(1)
+        return (total, comm.reduce_any(jnp.any(total != s)),
+                i + jnp.int32(1))
 
     s, sub_unconv, _ = jax.lax.while_loop(
         lambda st: st[1] & (st[2] < max_sweeps), ssweep,
@@ -250,20 +277,22 @@ def _subtree_sizes(L, dist, max_sweeps):
 
 
 def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
-            tau=jnp.inf):
+            tau=jnp.inf, comm=_DENSE_COMM):
     L, S, ID = state.L, state.S, state.ID
 
-    vminw, veid, nbrL = _vertex_min_outgoing(L, w8, eid8, tau)
-    if _use_pallas():
+    vminw, veid, nbrL = _vertex_min_outgoing(L, w8, eid8, tau, comm)
+    if _use_pallas() and comm.dense:
         from ..ops.pallas import gossip as pg
 
         cw, ce, SZ, unconv = pg.compmin_gossip(L, vminw, veid, S, max_sweeps)
     else:
-        cw, ce, SZ, unconv = _compmin_gossip(L, vminw, veid, S, max_sweeps)
+        cw, ce, SZ, unconv = _compmin_gossip(
+            L, vminw, veid, S, max_sweeps, comm
+        )
 
     if mode == "felz":
         thr = ID + jnp.float32(k) / SZ.astype(jnp.float32)
-        thr8 = jnp.stack(_shifts8(thr, jnp.inf))
+        thr8 = jnp.stack(comm.shifts8(thr, jnp.inf))
         my_ok = cw <= thr
     else:  # minsize
         thr8 = None
@@ -277,10 +306,10 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
 
     new_marks = []
     for dc, (dy, dx) in enumerate(gg.DIRS4):
-        m = pass8[dc] | _shift(pass8[dc + 4], dy, dx, False)
+        m = pass8[dc] | comm.shift(pass8[dc + 4], dy, dx, False)
         new_marks.append(m)
     new_mark4 = jnp.stack(new_marks)
-    merged = jnp.any(new_mark4)
+    merged = comm.reduce_any(jnp.any(new_mark4))
 
     allow = []
     for d in range(8):
@@ -288,7 +317,7 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
             am = new_mark4[d]
         else:
             dy, dx = gg.DIRS4[d - 4]
-            am = _shift(new_mark4[d - 4], -dy, -dx, False)
+            am = comm.shift(new_mark4[d - 4], -dy, -dx, False)
         allow.append((nbrL[d] == L) | am)
     allow8 = jnp.stack(allow)
 
@@ -299,21 +328,18 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
     # root (an old root that keeps its label) retains 0, absorbed roots get
     # overwritten on adoption.
     dist0 = jnp.where(L == vid, jnp.int32(0), BIGDIST)
-    if _use_pallas():
+    if _use_pallas() and comm.dense:
         from ..ops.pallas import gossip as pg
 
-        markp = jnp.zeros_like(L)
-        for d in range(4):
-            markp = markp | (new_mark4[d].astype(jnp.int32) << d)
         Lnew, IDnew, dist, lab_unconv = pg.label_gossip(
-            L, markp, L, id_init, dist0, max_sweeps
+            pg.pack_allow_bits(allow), L, id_init, dist0, max_sweeps
         )
     else:
         Lnew, IDnew, dist, lab_unconv = _label_gossip(
-            L, allow8, id_init, dist0, max_sweeps
+            L, allow8, id_init, dist0, max_sweeps, comm
         )
 
-    Snew, size_unconv = _subtree_sizes(Lnew, dist, max_sweeps)
+    Snew, size_unconv = _subtree_sizes(Lnew, dist, max_sweeps, comm)
 
     unconv = unconv | lab_unconv | size_unconv
     flags = state.flags | jnp.where(
@@ -657,12 +683,13 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     v = h * w
     # headroom for cross-chunk duplicate pairs (see _chunked_pair_extract).
     pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 24, 16384)
-    extract_ovf = jnp.bool_(False)
     if _use_pallas():
         # ---- Pallas path: the boundary_extract kernel does the dense ->
         # sparse transition on the VPU (run-dedup + in-VMEM stream
         # compaction), emitting a candidate pool ~16x smaller than the 4V
-        # slot space; the chunked per-pair dedup then runs on the pool.
+        # slot space. The pool is small enough to sort FLAT (one
+        # (lo, hi, w, eid) sort) — exact global per-pair dedup, no chunking
+        # and therefore no cross-chunk duplicate headroom needed.
         from ..ops.pallas import extract as px
 
         cap_live = max(
@@ -671,10 +698,24 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
         lo, hi, ew4, eid4, _, extract_ovf = px.boundary_extract(
             gst.L, weights, w, cap_live
         )
+        s_lo, s_hi, s_w, s_e = jax.lax.sort(
+            (lo, hi, ew4, eid4), num_keys=4
+        )
+        head = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_),
+             (s_lo[1:] != s_lo[:-1]) | (s_hi[1:] != s_hi[:-1])]
+        ) & (s_lo != INT32_MAX)
+        pm, (plo, phi, pw, pe), pair_ovf = _select_compact(
+            head, [s_lo, s_hi, s_w, s_e], pair_cap
+        )
+        pair_ovf = pair_ovf | extract_ovf
     else:
         # ---- XLA path: live canonical edges from dense shifted planes
         # (no V-sized gathers); flattening in (vertex, dir) interleave
-        # keeps position == canonical eid.
+        # keeps position == canonical eid. One chunked sort by (min-label,
+        # max-label, w, eid) both extracts the live boundary edges and
+        # deduplicates each unordered component pair down to its minimum
+        # edge — lossless for Boruvka.
         ew4 = jnp.stack([weights[d] for d in range(4)], axis=-1).reshape(-1)
         la = jnp.stack([gst.L] * 4, axis=-1).reshape(-1)
         lb = jnp.stack(
@@ -684,13 +725,9 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
         live4 = jnp.isfinite(ew4) & (la != lb) & (lb >= 0)
         lo = jnp.where(live4, jnp.minimum(la, lb), INT32_MAX)
         hi = jnp.where(live4, jnp.maximum(la, lb), INT32_MAX)
-    # One sort by (min-label, max-label, w, eid) both extracts the live
-    # boundary edges and deduplicates each unordered component pair down to
-    # its minimum edge — lossless for Boruvka.
-    pm, plo, phi, pw, pe, pair_ovf = _chunked_pair_extract(
-        lo, hi, ew4, eid4, pair_cap
-    )
-    pair_ovf = pair_ovf | extract_ovf
+        pm, plo, phi, pw, pe, pair_ovf = _chunked_pair_extract(
+            lo, hi, ew4, eid4, pair_cap
+        )
     plo = jnp.where(pm, plo, 0)
     phi = jnp.where(pm, phi, 0)
     pw = jnp.where(pm, pw, jnp.inf)
@@ -796,6 +833,228 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
 segment_turbo_flagged = jax.jit(
     segment_turbo_impl, static_argnames=("cfg", "gossip_rounds")
 )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy mode: per-round partition capture (reference Fast Hierarchy
+# Creation input, Report.pdf p.4 §3.2.3), turbo-native. Levels are the
+# SAME partition sequence as segment_turbo's internal rounds: one level per
+# felz Boruvka round (gossip rounds capture the dense label plane directly;
+# stage-2 rounds capture the compact root map `fin` and render it through
+# the seed-scatter + same-region flood of `_final_map` — still zero
+# V-sized gathers).
+# ---------------------------------------------------------------------------
+
+
+def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
+                     n_levels: int):
+    """_stage_g with a (n_levels, H, W) per-round label capture."""
+    h, w = image.shape[0], image.shape[1]
+    v = h * w
+    max_sweeps = 4 * (h + w)
+
+    smoothed = filters.gaussian_smooth(image, cfg.sigma)
+    weights, _ = gg.edge_weight_planes(
+        smoothed, cfg.connectivity, cfg.quantize_weight_bits
+    )
+    w8, eid8 = gg.incident_views(weights)
+    vid = jnp.arange(v, dtype=jnp.int32).reshape(h, w)
+
+    nb = max(cfg.weight_buckets, 1)
+    thresholds = (
+        bucket_thresholds(weights, nb) if cfg.weight_buckets > 0
+        else jnp.array([jnp.inf], dtype=jnp.float32)
+    )
+
+    gst = GossipState(
+        L=vid, S=jnp.ones((h, w), jnp.int32), ID=jnp.zeros((h, w), jnp.float32),
+        merged=jnp.bool_(True), it=jnp.int32(0), bucket=jnp.int32(0),
+        flags=jnp.int32(0),
+    )
+    levels0 = jnp.zeros((n_levels, h, w), jnp.int32)
+    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 128
+
+    def gcond(c):
+        s = c[0]
+        comp = jnp.sum((s.L == vid).astype(jnp.int32))
+        return s.merged & ((s.it < gossip_rounds) | (comp > gate_c))
+
+    def gbody(c):
+        s, levels = c
+        s2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz",
+                     max_sweeps, tau=thresholds[s.bucket])
+        more = s.bucket + 1 < nb
+        s2 = s2._replace(
+            bucket=jnp.minimum(s.bucket + 1, nb - 1),
+            merged=s2.merged | more,
+        )
+        levels = levels.at[jnp.minimum(s.it, n_levels - 1)].set(s2.L)
+        return s2, levels
+
+    (gst, levels) = jax.lax.while_loop(gcond, gbody, (gst, levels0))
+    return gst, weights, thresholds, levels
+
+
+def _s2_phase_capture(st: CompactState, v, comp_cap, k, min_size, max_iters,
+                      thresholds, nb, with_minsize, fins, cur,
+                      flag_exhaustion=True):
+    """_s2_phase that also records `fin` after each FELZ round into
+    fins[(cur)] (min-size rounds refine the same hierarchy level)."""
+    n_levels = fins.shape[0]
+
+    def cond(c):
+        s = c[0]
+        return s.merged & (s.it < max_iters)
+
+    def body(c):
+        s, fins, cur = c
+        is_felz = s.phase == 0
+        tau = thresholds[s.bucket]
+        s2 = _s2_round(s, v, comp_cap, k, min_size, is_felz, tau=tau)
+        more_buckets = is_felz & (s.bucket + 1 < nb)
+        s2 = s2._replace(
+            bucket=jnp.where(is_felz,
+                             jnp.minimum(s.bucket + 1, nb - 1), s.bucket),
+            merged=s2.merged | more_buckets,
+        )
+        if with_minsize:
+            flip = is_felz & ~s2.merged
+            s2 = s2._replace(
+                phase=jnp.where(flip, jnp.int32(1), s.phase),
+                merged=s2.merged | flip,
+            )
+        fins = jnp.where(
+            is_felz,
+            fins.at[jnp.minimum(cur, n_levels - 1)].set(s2.fin),
+            fins,
+        )
+        cur = cur + jnp.where(is_felz, jnp.int32(1), jnp.int32(0))
+        return s2, fins, cur
+
+    st = st._replace(merged=jnp.bool_(True), it=jnp.int32(0))
+    st, fins, cur = jax.lax.while_loop(cond, body, (st, fins, cur))
+    if flag_exhaustion:
+        st = st._replace(
+            flags=st.flags | jnp.where(
+                st.merged, jnp.int32(FLAG_ITERS_EXHAUSTED), jnp.int32(0))
+        )
+    return st, fins, cur
+
+
+def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
+                                 gossip_rounds: int = 4,
+                                 n_levels: int | None = None):
+    """(H, W, 3) -> (levels (n_levels+1, H, W), labels, flags).
+
+    Level 0 is the trivial partition; level i the partition after felz
+    round i; levels past convergence repeat the last converged felz
+    partition; `labels` is the final map after min-size."""
+    h, w = image.shape[0], image.shape[1]
+    v = h * w
+    if n_levels is None:
+        n_levels = cfg.max_iters
+    nb = max(cfg.weight_buckets, 1)
+
+    gst, weights, thresholds, glevels = _stage_g_capture(
+        image, cfg, gossip_rounds, n_levels
+    )
+    g_count = jnp.minimum(gst.it, n_levels)
+    st, rm, r0 = _extract_stage(gst, weights, cfg)
+
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
+    s2_iters = 2 * cfg.max_iters + nb
+    fins0 = jnp.zeros((n_levels, st.fin.shape[0]), jnp.int32)
+    st, fins, s2_count = _s2_phase_capture(
+        st, v, comp_cap, cfg.k, cfg.min_size, 2, thresholds, nb,
+        False, fins0, jnp.int32(0), flag_exhaustion=False,
+    )
+    st, rec_ovf = _recompact_edges(
+        st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
+    )
+    st = st._replace(
+        flags=st.flags
+        | jnp.where(rec_ovf, jnp.int32(FLAG_RECOMPACT_OVERFLOW), jnp.int32(0))
+    )
+    st, fins, s2_count = _s2_phase_capture(
+        st, v, comp_cap, cfg.k, cfg.min_size, s2_iters, thresholds, nb,
+        cfg.min_size > 1, fins, s2_count,
+    )
+
+    # pad unwritten fin slots with the last captured felz root map so levels
+    # past convergence repeat the final felz partition.
+    li = jnp.arange(n_levels, dtype=jnp.int32)
+    last = jnp.maximum(jnp.minimum(s2_count, n_levels) - 1, 0)
+    fins = jnp.where(
+        (li[:, None] < s2_count) & (li[:, None] < n_levels),
+        fins, fins[last][None],
+    )
+    # no felz round ever captured (s2_count == 0): levels fall back to the
+    # identity root map (partition unchanged from stage G's last level).
+    fins = jnp.where(s2_count == 0, jnp.where(rm, r0, 0)[None], fins)
+
+    max_sweeps = 4 * (h + w)
+    vid2d = jnp.arange(v, dtype=jnp.int32).reshape(h, w)
+    seed_base = jnp.where(gst.L == vid2d, gst.L, INT32_MAX).reshape(-1)
+    r0_safe = jnp.where(rm, r0, v)
+
+    def render_fin(fin_l):
+        seed = seed_base.at[r0_safe].set(fin_l, mode="drop").reshape(h, w)
+        if _use_pallas():
+            from ..ops.pallas import gossip as pg
+
+            lab, unconv = pg.value_flood(gst.L, seed, max_sweeps)
+        else:
+            lab, unconv = _value_flood(gst.L, seed, max_sweeps)
+        return lab, unconv
+
+    def level_j(j):
+        def from_gossip(_):
+            return glevels[j], jnp.bool_(False)
+
+        def from_s2(_):
+            return render_fin(fins[jnp.clip(j - g_count, 0, n_levels - 1)])
+
+        return jax.lax.cond(j < g_count, from_gossip, from_s2, None)
+
+    levels, unconvs = jax.lax.map(level_j, li)
+    labels, fm_unconv = _final_map(gst, st, rm, r0, max_sweeps)
+    flags = st.flags | jnp.where(
+        fm_unconv | jnp.any(unconvs),
+        jnp.int32(FLAG_GOSSIP_UNCONVERGED), jnp.int32(0),
+    )
+    level0 = vid2d[None]
+    return jnp.concatenate([level0, levels], axis=0), labels, flags
+
+
+segment_turbo_hierarchy_flagged = jax.jit(
+    segment_turbo_hierarchy_impl,
+    static_argnames=("cfg", "gossip_rounds", "n_levels"),
+)
+
+
+def segment_turbo_hierarchy(image, cfg: SegmentationConfig,
+                            gossip_rounds: int = 4):
+    """Checked hierarchy entry: (H, W, 3) -> (levels (L+1, H, W), labels).
+
+    Same flag semantics as segment_turbo (raise / fallback / ignore per
+    cfg.on_overflow)."""
+    levels, labels, flags = segment_turbo_hierarchy_flagged(
+        image, cfg, gossip_rounds
+    )
+    flags = int(flags)
+    if flags == 0:
+        return levels, labels
+    msg = f"turbo capacity/budget violation: {describe_flags(flags)}"
+    if cfg.on_overflow == "fallback":
+        from .fastmst import segment_fastmst_hierarchy
+
+        return segment_fastmst_hierarchy(image, cfg)
+    if cfg.on_overflow == "ignore":
+        return levels, labels
+    raise RuntimeError(
+        msg + " — rerun with SegmentationConfig(on_overflow='fallback') "
+        "to route to the fastmst hierarchy, or use a larger-capacity config"
+    )
 
 
 def describe_flags(flags: int) -> str:

@@ -1,30 +1,47 @@
-"""Pallas multi-step gossip sweep kernels.
+"""Pallas gossip kernels: multi-step sweeps + segmented scan closures.
 
-The turbo path's stage-G reductions are 8-neighbor propagation sweeps
-(lexmin component-min, min-label flood, BFS dist, subtree sums). In XLA each
-sweep is one full HBM pass; propagation over diameter-D components costs D
-passes. These kernels keep a row strip resident in VMEM with a T-row halo
-and iterate the propagation T times per HBM pass (the classic overlapped
-halo / temporal-blocking scheme): after i in-VMEM iterations the outer i
-rows of the slab are stale, and after T iterations exactly the interior S
-rows remain valid — so one pass advances the fixpoint by T steps at ~(S+2T)/S
-times the traffic of a single step. Net: ~6-7x fewer HBM passes at T=8.
+The turbo path's stage-G reductions are 8-neighbor propagation fixpoints
+(lexmin component-min, min-label flood with BFS dist and Int riding, value
+broadcast, subtree sums). In XLA each sweep is one full HBM pass, so
+propagation over diameter-D components costs D passes. Two techniques make
+these ~diameter-independent:
 
-All variants share the strip runner; each supplies a small combine body:
-  compmin : lexmin (w, eid) + max(sz) over same-label neighbors
-  label   : min-label flood over same-oldlabel | mark-bit adjacency, with a
-            max-gossip float (Int) and the BFS level from the new cluster
-            root both riding along in the same fixpoint
-  value   : min-value broadcast within same-label regions (final-map apply)
-  subsum  : iterated subtree sums along parent directions
+1. **Temporal blocking** (all variants): a row strip stays resident in VMEM
+   with a T-row halo and the propagation iterates T times per HBM pass;
+   after T in-VMEM steps exactly the interior S rows are valid.
 
-Convergence flags are computed against the pass's initial interior, so the
-surrounding while_loop sees exactly the same fixpoint as the XLA sweeps
-(gossip is a monotone idempotent fixpoint iteration: pass granularity does
-not change the result, which keeps oracle parity intact).
+2. **Segmented scan closures** (min/max variants): after the T steps, a
+   staged-doubling segmented closure runs along BOTH in-VMEM axes — each
+   pixel combines candidates from every pixel in its contiguous same-reach
+   row interval (full padded width) and column interval (slab height) in
+   log2(n) roll stages. Because these fixpoints are monotone and idempotent
+   (min/max semilattices; min-plus for the riding BFS dist), propagating
+   through *stale halo rows* is sound — intermediate values are always
+   upper bounds that later passes tighten, and the fixpoint is unique. A
+   pass with no change certifies the one-step sweep fixpoint (the pass's
+   first stage dominates one full 8-direction step), so the surrounding
+   while_loop converges to exactly the same fixpoint as the XLA sweeps —
+   oracle parity is untouched.
+
+3. **Orientation alternation**: passes alternate between row strips on the
+   (H, W) layout and row strips on the TRANSPOSED (W, H) layout, so each
+   iteration performs a full-width row closure and a full-height column
+   closure. Convergence is then bounded by the component's "staircase
+   complexity" (alternation count), not its diameter: blobs converge in
+   2-3 iterations at ANY resolution.
+
+Subtree sums are an affine (non-idempotent) fixpoint; they keep the plain
+step kernel (converges in BFS-tree-depth steps; see models/turbo.py).
+
+Reference parity note: this replaces the reference's per-component
+atomicMin reductions and pointer-jumping flattens (Report.pdf p.2-3 §3.1,
+Appendix A) with dense, deterministic propagation — the design the measured
+v5e cost model demands (no V-sized gathers/scatters).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -33,17 +50,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import grid_graph as gg
 
-T = 8  # propagation steps per HBM pass (also the halo width; multiple of 8)
+T = 8        # steps per pass for the step-only subsum kernel
+T_SCAN = 4   # steps per pass when scan closures do the long-range work
 
 _REV = [4, 5, 6, 7, 0, 1, 2, 3]
+# DIRS8 index permutation under transposition ((dy, dx) -> (dx, dy)).
+_TRANSPOSE_PERM = [1, 0, 2, 7, 5, 4, 6, 3]
+
+# direction bit indices for the closure reach masks (DIRS8 order):
+#   flow from the LEFT  into p: neighbor (0,-1) = bit 4
+#   flow from the RIGHT into p: neighbor (0, 1) = bit 0
+#   flow from ABOVE     into p: neighbor (-1,0) = bit 5
+#   flow from BELOW     into p: neighbor (1, 0) = bit 1
+_BIT_L, _BIT_R, _BIT_U, _BIT_D = 4, 0, 5, 1
 
 
 def _pick_strip_rows(wp: int) -> int:
-    """Strip height given padded width: ~20 concurrently-live row-planes
-    (scratch slabs + bitmask + loop-carried fields + temporaries + output
-    blocks) must fit VMEM with slack."""
+    """Strip height given padded width: ~24 concurrently-live row-planes
+    (scratch slabs + bitmask + loop-carried fields + closure temporaries +
+    output blocks) must fit VMEM with slack."""
     budget = 8 * 1024 * 1024
-    per_row = wp * 4 * 20
+    per_row = wp * 4 * 24
     s = max(budget // per_row, 8)
     s = min(int(s) // 8 * 8, 256)
     return max(s, 8)
@@ -69,8 +96,42 @@ def _col_ok(dx, rows, wp):
     return jnp.ones((rows, wp), jnp.bool_)
 
 
-def _strip_call(prepare_fn, step_fn, ro_fields, rw_fields, h, w, s_rows):
-    """Run a T-step sweep kernel over row strips.
+def _seg_closure(reach_lo, reach_hi, combine, fields, n, axis):
+    """Bidirectional segmented interval closure along `axis`.
+
+    reach_lo/reach_hi: (rows, wp) int32 0/1 — whether a value may flow from
+    the index-1 / index+1 side into each position (pairwise adjacency;
+    MUST be 0 at the axis boundary). combine(cands, fields, s, reach) is
+    the monotone merge for candidates rolled from distance s. A forward
+    then backward staged-doubling scan gives the exact closure over each
+    contiguous reach interval.
+    """
+    for fwd, reach0 in ((True, reach_lo), (False, reach_hi)):
+        rch = reach0
+        s = 1
+        while s < n:
+            sh = s if fwd else (-s) % n
+            cands = [pltpu.roll(f, sh, axis) for f in fields]
+            fields = combine(cands, fields, s, rch)
+            if 2 * s < n:
+                rch = rch & pltpu.roll(rch, sh, axis)
+            s *= 2
+    return fields
+
+
+def _closure_4dir(bits, combine, rw, rows, wp):
+    """Full-width row closure using the lane-direction reach bits (the
+    orientation-alternating driver supplies the column dimension via the
+    transposed pass, where this same closure covers full height)."""
+    lo_r = (bits >> _BIT_L) & 1
+    hi_r = (bits >> _BIT_R) & 1
+    return _seg_closure(lo_r, hi_r, combine, rw, wp, 1)
+
+
+def _strip_call(prepare_fn, step_fn, closure_fn, ro_fields, rw_fields, h, w,
+                s_rows, t_steps):
+    """Run a sweep kernel over row strips: t_steps neighbor steps, then an
+    optional scan closure, per HBM pass.
 
     ro_fields/rw_fields: lists of ((H, W) array, sentinel fill).
     Returns (new rw fields, changed flag ()bool).
@@ -78,11 +139,12 @@ def _strip_call(prepare_fn, step_fn, ro_fields, rw_fields, h, w, s_rows):
     wp = -(-w // 128) * 128
     hp = -(-h // s_rows) * s_rows
     nstrips = hp // s_rows
-    slab = s_rows + 2 * T
+    slab = s_rows + 2 * t_steps
 
     def padded(x, fill):
         return jnp.pad(
-            x, ((T, hp - h + T), (0, wp - w)), constant_values=fill
+            x, ((t_steps, hp - h + t_steps), (0, wp - w)),
+            constant_values=fill,
         )
 
     ins = [padded(x, f) for x, f in ro_fields + rw_fields]
@@ -121,11 +183,13 @@ def _strip_call(prepare_fn, step_fn, ro_fields, rw_fields, h, w, s_rows):
         def step(_, rw):
             return step_fn(pre, list(rw), slab, wp)
 
-        rw = jax.lax.fori_loop(0, T, step, tuple(rw))
+        rw = jax.lax.fori_loop(0, t_steps, step, tuple(rw))
+        if closure_fn is not None:
+            rw = tuple(closure_fn(pre, list(rw), slab, wp))
 
         # in-kernel convergence: compare the interior against the input slab
-        # (still intact in scratch) — saves re-reading old+new in XLA.
-        # Pad rows/cols are excluded (sentinel-filled pads can flip once).
+        # (still intact in scratch). Pad rows/cols are excluded
+        # (sentinel-filled pads can flip once).
         rowg = (
             jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 0) + i * s_rows
         )
@@ -133,9 +197,9 @@ def _strip_call(prepare_fn, step_fn, ro_fields, rw_fields, h, w, s_rows):
         valid = (rowg < h) & (colg < w)
         changed = jnp.int32(0)
         for j in range(n_rw):
-            out_refs[j][:] = rw[j][T : T + s_rows, :]
-            diff = rw[j][T : T + s_rows, :] != scratch[n_ro + j][
-                T : T + s_rows, :
+            out_refs[j][:] = rw[j][t_steps : t_steps + s_rows, :]
+            diff = rw[j][t_steps : t_steps + s_rows, :] != scratch[n_ro + j][
+                t_steps : t_steps + s_rows, :
             ]
             changed = changed | jnp.max((diff & valid).astype(jnp.int32))
         acc[0] = acc[0] | changed
@@ -168,23 +232,58 @@ def _strip_call(prepare_fn, step_fn, ro_fields, rw_fields, h, w, s_rows):
     return new_rw, changed
 
 
-def _run_to_fixpoint(prepare_fn, step_fn, ro_fields, rw_fields, h, w,
-                     max_passes):
-    s_rows = _pick_strip_rows(-(-w // 128) * 128)
+WARM_PASSES = 4  # step-only passes before the scan machinery engages
 
-    def cond(st):
-        return st[0] & (st[1] < max_passes)
 
-    def body(st):
+def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
+                     rw_fields, h, w, max_passes):
+    """Two-phase fixpoint driver.
+
+    Phase 1 — cheap T-step passes in row orientation only (no closures):
+    components whose diameter fits a few T-step passes (the common case
+    after the gossip gate at moderate resolutions) converge here at minimum
+    cost. Phase 2 — if still unconverged, alternate (H, W) and transposed
+    (W, H) scan-closure passes: each pair performs a full-width AND a
+    full-height segmented closure, so convergence is bounded by the
+    component's staircase complexity, not its diameter (the 4K/8K and
+    quality-mode thin-component regime). Returns (rw, unconverged).
+    """
+    s_row = _pick_strip_rows(-(-w // 128) * 128)
+    s_col = _pick_strip_rows(-(-h // 128) * 128)
+    fills = [f for _, f in rw_fields]
+
+    def cond1(st):
+        return st[0] & (st[1] < WARM_PASSES)
+
+    def body1(st):
         _, it, rw = st
-        new_rw, changed = _strip_call(
-            prepare_fn, step_fn, ro_fields,
-            list(zip(rw, [f for _, f in rw_fields])), h, w, s_rows,
+        rw, ch = _strip_call(
+            prepare_fn, step_fn, None, ro_row,
+            list(zip(rw, fills)), h, w, s_row, T,
         )
-        return changed, it + jnp.int32(1), tuple(new_rw)
+        return ch, it + jnp.int32(1), tuple(rw)
 
     st = (jnp.bool_(True), jnp.int32(0), tuple(x for x, _ in rw_fields))
-    st = jax.lax.while_loop(cond, body, st)
+    st = jax.lax.while_loop(cond1, body1, st)
+
+    def cond2(st):
+        return st[0] & (st[1] < max_passes)
+
+    def body2(st):
+        _, it, rw = st
+        rw, ch1 = _strip_call(
+            prepare_fn, step_fn, closure_fn, ro_row,
+            list(zip(rw, fills)), h, w, s_row, T_SCAN,
+        )
+        rw_t = [x.T for x in rw]
+        rw_t, ch2 = _strip_call(
+            prepare_fn, step_fn, closure_fn, ro_col,
+            list(zip(rw_t, fills)), w, h, s_col, T_SCAN,
+        )
+        rw = tuple(x.T for x in rw_t)
+        return ch1 | ch2, it + jnp.int32(1), rw
+
+    st = jax.lax.while_loop(cond2, body2, st)
     # st[0] still True at exit <=> the pass budget ended the loop unconverged.
     return list(st[2]), st[0]
 
@@ -197,7 +296,7 @@ def _run_to_fixpoint(prepare_fn, step_fn, ro_fields, rw_fields, h, w,
 def _same_bits(L, rows, wp):
     """Per-pixel bitmask: bit d set iff the dir-d neighbor has the same
     label (and is in-bounds column-wise). Computed once per pass — L is
-    constant across the T in-VMEM iterations."""
+    constant across the in-VMEM iterations."""
     bits = jnp.zeros(L.shape, jnp.int32)
     for d, (dy, dx) in enumerate(gg.DIRS8):
         nL = _nbr(L, dy, dx, rows, wp)
@@ -226,18 +325,24 @@ def _compmin_step(pre, rw, rows, wp):
     return bw, be, sz
 
 
-def _label_prepare(ro, rows, wp):
-    L_old, markp = ro
-    same = _same_bits(L_old, rows, wp)
-    allow = jnp.zeros(L_old.shape, jnp.int32)
-    for d, (dy, dx) in enumerate(gg.DIRS8):
-        if d < 4:
-            mk = (markp >> d) & 1
-        else:
-            dyc, dxc = gg.DIRS4[d - 4]
-            mk = (_nbr(markp, -dyc, -dxc, rows, wp) >> (d - 4)) & 1
-        ok = ((((same >> d) & 1) | mk) > 0) & _col_ok(dx, rows, wp)
-        allow = allow | (ok.astype(jnp.int32) << d)
+def _compmin_combine(cands, fields, s, rch):
+    cw, ce, csz = cands
+    bw, be, sz = fields
+    ok = rch > 0
+    take = ok & ((cw < bw) | ((cw == bw) & (ce < be)))
+    bw = jnp.where(take, cw, bw)
+    be = jnp.where(take, ce, be)
+    sz = jnp.where(ok & (csz > sz), csz, sz)
+    return [bw, be, sz]
+
+
+def _compmin_closure(pre, rw, rows, wp):
+    (bits,) = pre
+    return _closure_4dir(bits, _compmin_combine, rw, rows, wp)
+
+
+def _allow_prepare(ro, rows, wp):
+    (allow,) = ro
     return (allow,)
 
 
@@ -264,6 +369,27 @@ def _label_step(pre, rw, rows, wp):
     return Lc, idf, dist
 
 
+def _label_combine(cands, fields, s, rch):
+    """(L, dist) combine lexicographically in the min-plus semiring (a
+    candidate from distance s arrives with dist + s); Int rides as max."""
+    cL, cid, cd = cands
+    Lc, idf, dist = fields
+    big = jnp.int32(1 << 30)
+    ok = rch > 0
+    cd2 = jnp.where(cd >= big, big, cd + s)
+    adopt = ok & (cL < Lc)
+    relax = ok & (cL == Lc) & (cd2 < dist)
+    dist = jnp.where(adopt | relax, cd2, dist)
+    Lc = jnp.where(adopt, cL, Lc)
+    idf = jnp.where(ok & (cid > idf), cid, idf)
+    return [Lc, idf, dist]
+
+
+def _label_closure(pre, rw, rows, wp):
+    (allow,) = pre
+    return _closure_4dir(allow, _label_combine, rw, rows, wp)
+
+
 def _value_step(pre, rw, rows, wp):
     """Min-value broadcast within same-label regions (final-map apply)."""
     (bits,) = pre
@@ -273,6 +399,17 @@ def _value_step(pre, rw, rows, wp):
         nv = _nbr(val, dy, dx, rows, wp)
         val = jnp.where(same & (nv < val), nv, val)
     return (val,)
+
+
+def _value_combine(cands, fields, s, rch):
+    (cv,) = cands
+    (val,) = fields
+    return [jnp.where((rch > 0) & (cv < val), cv, val)]
+
+
+def _value_closure(pre, rw, rows, wp):
+    (bits,) = pre
+    return _closure_4dir(bits, _value_combine, rw, rows, wp)
 
 
 def _subsum_prepare(ro, rows, wp):
@@ -300,32 +437,54 @@ def _subsum_step(pre, rw, rows, wp):
 # ---------------------------------------------------------------------------
 
 
+def pack_allow_bits(allow8_list):
+    """(list of 8 (H, W) bool planes, DIRS8 order) -> packed int32 bits."""
+    bits = jnp.zeros(allow8_list[0].shape, jnp.int32)
+    for d in range(8):
+        bits = bits | (allow8_list[d].astype(jnp.int32) << d)
+    return bits
+
+
+def transpose_allow_bits(bits):
+    """Allow bitmask for the transposed layout: transpose the plane and
+    permute direction bits under (dy, dx) -> (dx, dy)."""
+    bt = bits.T
+    out = jnp.zeros_like(bt)
+    for d in range(8):
+        out = out | (((bt >> _TRANSPOSE_PERM[d]) & 1) << d)
+    return out
+
+
 def compmin_gossip(L, bw, be, sz, max_sweeps):
     """Returns (bw, be, sz, unconverged)."""
     h, w = L.shape
     max_passes = -(-max_sweeps // T)
-    (bw, be, sz), unconv = _run_to_fixpoint(
-        _compmin_prepare, _compmin_step, [(L, -1)],
+    (bw, be, sz), unconv = _hybrid_fixpoint(
+        _compmin_prepare, _compmin_step, _compmin_closure,
+        [(L, -1)], [(L.T, -1)],
         [(bw, jnp.inf), (be, jnp.iinfo(jnp.int32).max), (sz, 0)],
         h, w, max_passes,
     )
     return bw, be, sz, unconv
 
 
-def label_gossip(L_old, mark_bits, Lc, idf, dist, max_sweeps):
-    """Returns (Lc, idf, dist, unconverged). dist: BFS level from the new
-    cluster root, seeded 0 at old roots / BIG elsewhere (rides the flood —
-    one fused fixpoint instead of a separate dist sweep).
+def label_gossip(allow_bits, Lc, idf, dist, max_sweeps):
+    """Returns (Lc, idf, dist, unconverged). allow_bits: packed DIRS8 allow
+    adjacency (see pack_allow_bits — same-old-label | merge-mark edges).
+    dist: BFS level from the new cluster root, seeded 0 at old roots / BIG
+    elsewhere (rides the flood — one fused fixpoint, lexicographic with the
+    label in the min-plus semiring).
 
-    Precondition: mark bits never point across the image boundary (the
-    producer guarantees this — an out-of-bounds edge has +inf weight and is
-    never a component min edge). The kernel's column masks cover the PADDED
-    width only; a boundary-crossing mark would flood through the pad region.
+    Precondition: allow bits never point across the image boundary for the
+    mark component (the producer guarantees this — an out-of-bounds edge has
+    +inf weight and is never a component min edge). Same-label bits are
+    boundary-safe by the sentinel pad.
     """
-    h, w = L_old.shape
+    h, w = Lc.shape
     max_passes = -(-max_sweeps // T)
-    (Lc, idf, dist), unconv = _run_to_fixpoint(
-        _label_prepare, _label_step, [(L_old, -1), (mark_bits, 0)],
+    (Lc, idf, dist), unconv = _hybrid_fixpoint(
+        _allow_prepare, _label_step, _label_closure,
+        [(allow_bits, 0)], [(transpose_allow_bits(allow_bits), 0)],
         [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0),
          (dist, jnp.int32(1 << 30))],
         h, w, max_passes,
@@ -338,21 +497,34 @@ def value_flood(L, val, max_sweeps):
 
     Used by the turbo final-map apply: the final label is scattered onto each
     component's root pixel and flooded to the rest — replacing a V-sized
-    random gather (~7 ns/index) with dense sweeps.
+    random gather (~7 ns/index) with dense scan-closure passes.
     """
     h, w = L.shape
-    (val,), unconv = _run_to_fixpoint(
-        _compmin_prepare, _value_step, [(L, -1)],
+    (val,), unconv = _hybrid_fixpoint(
+        _compmin_prepare, _value_step, _value_closure,
+        [(L, -1)], [(L.T, -1)],
         [(val, jnp.iinfo(jnp.int32).max)], h, w, -(-max_sweeps // T),
     )
     return val, unconv
 
 
 def subtree_sums(pdir, s, max_sweeps):
-    """Returns (sums, unconverged)."""
+    """Returns (sums, unconverged). Affine fixpoint (not idempotent): plain
+    step kernel, single orientation — converges in BFS-tree-depth steps."""
     h, w = pdir.shape
-    (s,), unconv = _run_to_fixpoint(
-        _subsum_prepare, _subsum_step, [(pdir, 8)], [(s, 0)], h, w,
-        -(-max_sweeps // T),
-    )
-    return s, unconv
+    s_rows = _pick_strip_rows(-(-w // 128) * 128)
+
+    def cond(st):
+        return st[0] & (st[1] < -(-max_sweeps // T))
+
+    def body(st):
+        _, it, (sv,) = st
+        (sv,), changed = _strip_call(
+            _subsum_prepare, _subsum_step, None, [(pdir, 8)],
+            [(sv, 0)], h, w, s_rows, T,
+        )
+        return changed, it + jnp.int32(1), (sv,)
+
+    st = (jnp.bool_(True), jnp.int32(0), (s,))
+    st = jax.lax.while_loop(cond, body, st)
+    return st[2][0], st[0]

@@ -75,11 +75,8 @@ def test_label_flood_matches_xla(shape):
     )
     ref = turbo._label_gossip(L, allow8, idf, dist0, ms)
 
-    markp = jnp.zeros((h, w), jnp.int32)
-    for d in range(4):
-        markp = markp | (jnp.asarray(mark4[d]).astype(jnp.int32) << d)
     with pltpu.force_tpu_interpret_mode():
-        got = pg.label_gossip(L, markp, L, idf, dist0, ms)
+        got = pg.label_gossip(pg.pack_allow_bits(allow), L, idf, dist0, ms)
     for r, g in zip(ref, got):
         assert np.array_equal(np.asarray(r), np.asarray(g))
 

@@ -76,3 +76,33 @@ def test_segment_batch_turbo():
     out = np.asarray(segment_batch(jnp.asarray(imgs), cfg))
     single = np.asarray(segment_turbo(jnp.asarray(imgs[0]), cfg))
     assert np.array_equal(out[0], single)
+
+
+@needs_devices
+def test_turbo_spatial_matches_dense():
+    """Explicit shard_map turbo (halo-exchange gossip, gathered extraction,
+    replicated stage 2) equals the dense single-device turbo partition."""
+    from gseg_tpu.models.turbo import segment_turbo
+    from gseg_tpu.parallel.turbo_spatial import segment_turbo_spatial
+
+    cfg = SegmentationConfig(k=120.0, min_size=8)
+    img = blobs_image(48, 40, 5, 6.0, 2)
+    mesh = spatial_mesh(jax.devices()[:8])
+    labels, flags = segment_turbo_spatial(jnp.asarray(img), cfg, mesh)
+    assert int(flags) == 0
+    dense = np.asarray(segment_turbo(jnp.asarray(img), cfg))
+    assert np.array_equal(np.asarray(labels), dense)
+
+
+@needs_devices
+def test_turbo_spatial_minsize_and_edgecases():
+    from gseg_tpu.models.turbo import segment_turbo
+    from gseg_tpu.parallel.turbo_spatial import segment_turbo_spatial
+
+    cfg = SegmentationConfig(k=60.0, min_size=20)
+    img = blobs_image(64, 24, 6, 8.0, 5)
+    mesh = spatial_mesh(jax.devices()[:4])
+    labels, flags = segment_turbo_spatial(jnp.asarray(img), cfg, mesh)
+    assert int(flags) == 0
+    dense = np.asarray(segment_turbo(jnp.asarray(img), cfg))
+    assert np.array_equal(np.asarray(labels), dense)

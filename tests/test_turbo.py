@@ -201,3 +201,47 @@ def test_full_pipeline_pallas_path_matches_oracle():
         turbo_mod._use_pallas = orig
     assert int(flags) == 0
     assert np.array_equal(expected, np.asarray(got))
+
+
+def test_hierarchy_levels_nest_and_match_oracle():
+    """Turbo-native hierarchy: level 0 singletons, monotone nesting, final
+    labels equal to segment_turbo / the oracle partition."""
+    from gseg_tpu.models.turbo import segment_turbo_hierarchy
+
+    cfg = SegmentationConfig(k=100.0, min_size=8)
+    img = blobs_image(24, 32, 5, 6.0, 0)
+    levels, final = segment_turbo_hierarchy(jnp.asarray(img), cfg)
+    levels = np.asarray(levels)
+    counts = [np.unique(levels[i]).size for i in range(levels.shape[0])]
+    assert counts[0] == img.shape[0] * img.shape[1]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # nesting: each level-i component lies inside one level-(i+1) component
+    for i in range(levels.shape[0] - 1):
+        fine = levels[i].reshape(-1)
+        coarse = levels[i + 1].reshape(-1)
+        seen = {}
+        for f, c in zip(fine.tolist(), coarse.tolist()):
+            assert seen.setdefault(f, c) == c
+    expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
+    assert np.array_equal(expected, np.asarray(final))
+    assert np.array_equal(
+        np.asarray(segment_turbo(jnp.asarray(img), cfg)), np.asarray(final)
+    )
+
+
+def test_hierarchy_per_level_partitions_match_fastmst():
+    """The turbo hierarchy's per-round partition sequence equals the
+    fastmst hierarchy's (same merge rule per felz round, different
+    schedule), compared as canonical partitions level by level."""
+    from gseg_tpu.models.fastmst import segment_fastmst_hierarchy
+    from gseg_tpu.models.turbo import segment_turbo_hierarchy
+
+    cfg = SegmentationConfig(k=120.0, min_size=1, max_iters=12)
+    img = blobs_image(20, 28, 4, 5.0, 3)
+    t_levels, _ = segment_turbo_hierarchy(jnp.asarray(img), cfg)
+    f_levels, _ = segment_fastmst_hierarchy(jnp.asarray(img), cfg)
+    n = min(t_levels.shape[0], f_levels.shape[0])
+    for i in range(n):
+        a = canonical_min_labels_np(np.asarray(t_levels[i]))
+        b = canonical_min_labels_np(np.asarray(f_levels[i]))
+        assert np.array_equal(a, b), f"level {i} partitions differ"
