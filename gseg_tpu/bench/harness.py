@@ -109,12 +109,19 @@ def segment_fn(algorithm: str, cfg: SegmentationConfig, checked: bool = True):
 
         return lambda img: segment_atomic_hostsync(np.asarray(img), cfg)
     if algorithm == "fastmst":
-        from ..models.fastmst import segment_fastmst
+        from ..models.fastmst import segment_fastmst, segment_fastmst_flagged
 
+        if not checked:
+            return lambda img: segment_fastmst_flagged(img, cfg)[0]
         return lambda img: segment_fastmst(img, cfg)
     if algorithm == "superpixel":
-        from ..models.superpixel import segment_superpixel
+        from ..models.superpixel import (
+            segment_superpixel,
+            segment_superpixel_flagged,
+        )
 
+        if not checked:
+            return lambda img: segment_superpixel_flagged(img, cfg)[0]
         return lambda img: segment_superpixel(img, cfg)
     if algorithm == "kruskal_native":
         from ..native.bindings import segment_kruskal_native
@@ -166,7 +173,7 @@ def run_performance_ladder(
         prep = prep_fn(cfg)
         prep_stats = _timed(lambda: prep(img)[0], reps)
         for algo in algorithms:
-            if algo == "turbo":
+            if algo in ("turbo", "fastmst", "superpixel"):
                 # Validate capacities once (checked call raises on overflow),
                 # then time the uncheck-variant (no per-call host fetch).
                 _fence(segment_fn(algo, cfg, checked=True)(img))

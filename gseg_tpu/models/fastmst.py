@@ -1,40 +1,51 @@
-"""DPP/FastMST segmentation path, TPU-native.
+"""DPP/FastMST segmentation path, TPU-native (compact supervertex rounds).
 
 Rebuild of the reference's data-parallel-primitive variants: the ground-up
 and ported FastMST "DPP Segmentation Hierarchies" (branches
 boruvka_fastMST_fixingSegments_v1 / fastmst_segment; Report.pdf p.3-4
 §3.2.2-3.2.3, after Vineet et al. HPG'09). The reference maps each Boruvka
 round onto Thrust primitives: radix sort of packed 64-bit edge keys
-(26b src | 26b dst | 12b weight), segmented min via a custom scan,
-pointer jumping, supervertex renumbering (sort + adjacent-diff + prefix
-scan), and edge-list relabel/compaction.
+(26b src | 26b dst | 12b weight), segmented min via a custom scan, pointer
+jumping, supervertex renumbering (sort + adjacent-diff + prefix scan),
+duplicate-edge removal, and edge-list relabel/compaction.
 
-TPU-first redesign:
-  - Packed 64-bit keys are replaced by a multi-operand `jax.lax.sort` over
-    (component, weight, edge-id) — full float32 weights, no 2^26-pixel
-    capacity cap and no 12-bit weight quantization (SURVEY.md §6 hard parts).
-  - Segmented min = sorted-run head detection (a boundary mask after the
-    sort) — the custom segmented scan disappears.
-  - Compaction keeps XLA-static shapes: live edges are partitioned to the
-    front of fixed-capacity buffers by sorting on a liveness key (the
-    prefix-scan + scatter idiom of `ops.primitives.compact_indices` inlined
-    into the sort).
-  - Self-edge removal after contraction = invalidation by weight=+inf, which
-    the next round's sort pushes past every live edge.
-  - The round loop lives in `lax.fori_loop`/`lax.while_loop` on device.
+TPU-first redesign (v2 — the measured v5e cost model forbids per-round
+V-sized gathers, so the V-scale work happens ONCE):
 
-Merge semantics (min outgoing edge per component, Felzenszwalb predicate,
-tie-break by canonical edge id, mutual-hook removal, Int/size updates) are
-IDENTICAL to models/atomic_boruvka.py and the sequential oracle — the three
-implementations must produce byte-identical label maps; only the schedule
-differs (sort-based vs scatter-based segmented min), mirroring the
-reference's N1-vs-N5 relationship.
+  ROUND 1 — dense, at pixel scale: with identity parents the per-component
+  min outgoing edge is a per-PIXEL lexmin over the 8 incident-edge planes
+  (the reference's Fast Graph Creation per-pixel kernels, Report.pdf p.3
+  §3.2.1, fused with its first Boruvka round); hooks, mutual-hook removal
+  and pointer jumping run on the (V,) successor array (`pointer_double`,
+  the reference's pointer-jumping primitive), sizes/Int via segment
+  scatters. This is the only V-scale round.
+
+  EXTRACTION — dense planes -> compact edge list: live boundary edges are
+  extracted and deduplicated to the minimum (w, eid) edge per component
+  pair with chunked sorts (the reference's 64-bit-key duplicate-edge
+  removal; lossless for Boruvka). Capacities are static with overflow
+  flags (no silent truncation).
+
+  ROUNDS 2+ — the faithful Vineet DPP schedule at supervertex scale on the
+  compacted list (models/turbo.py `_s2_round` with canonical=False): one
+  multi-operand `lax.sort` by (component, w, eid) replaces the packed-key
+  radix sort + segmented-min scan; run heads are the per-component minima;
+  hook chains resolve by pointer-doubling the successor map in compact
+  index space; edge relabel + self-edge invalidation keep shapes static.
+
+  FINAL — labels materialize by scattering each round-1 root's final root
+  onto its root pixel and value-flooding the (tiny-diameter) round-1
+  components — no V-sized gather.
+
+Label convention: HOOK-SINK root vertex ids — byte-identical to
+`segment_atomic` and the sequential oracles (models/boruvka_cpu.py), unlike
+turbo's canonical min-vertex ids; the partition equals turbo's.
+Full float32 weights and 32-bit ids: no 2^26-pixel cap and no 12-bit weight
+quantization (SURVEY.md §6 hard parts); `quantize_weight_bits=12`
+reproduces the reference's quantized weights for validation.
 """
 
 from __future__ import annotations
-
-import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -46,220 +57,255 @@ from ..ops.primitives import (
     INT32_MAX,
     pointer_double,
     remove_mutual_hooks,
-    segment_max,
     segment_sum,
+)
+from . import turbo
+
+
+def _round1_dense(image: jnp.ndarray, cfg: SegmentationConfig):
+    """First Boruvka-Felzenszwalb round at pixel scale with dense plane ops.
+
+    Returns (gst: turbo.GossipState with hook-sink labels/stats after round
+    1, weights (4, H, W)). With identity parents the component min edge IS
+    the vertex min edge, so no scatter reduction is needed; hooks resolve
+    with one (V,) pointer-doubling pass (reference Appendix A Algs 1-6
+    collapse to their first iteration)."""
+    h, w = image.shape[0], image.shape[1]
+    v = h * w
+    smoothed = filters.gaussian_smooth(image, cfg.sigma)
+    weights, _ = gg.edge_weight_planes(
+        smoothed, cfg.connectivity, cfg.quantize_weight_bits
+    )
+    w8, eid8 = gg.incident_views(weights)
+    vid = jnp.arange(v, dtype=jnp.int32).reshape(h, w)
+
+    # round-1 predicate: all sizes 1, Int 0 => both thresholds equal k.
+    vminw = jnp.min(w8, axis=0)
+    cand = jnp.where(w8 == vminw[None], eid8, INT32_MAX)
+    veid = jnp.min(cand, axis=0)
+    has = jnp.isfinite(vminw)
+    ok = has & (vminw <= jnp.float32(cfg.k))
+
+    a, b = gg.edge_endpoints(veid.reshape(-1), w)
+    other = jnp.where(
+        ok.reshape(-1), a + b - vid.reshape(-1), vid.reshape(-1)
+    )
+    succ = remove_mutual_hooks(other)
+    arange = vid.reshape(-1)
+    used = succ != arange
+    parent1 = pointer_double(succ)
+
+    size1 = segment_sum(jnp.ones((v,), jnp.int32), parent1, v)
+    id1 = jnp.zeros((v,), jnp.float32).at[
+        jnp.where(used, parent1, v)
+    ].max(jnp.where(used, vminw.reshape(-1), 0.0), mode="drop")
+
+    gst = turbo.GossipState(
+        L=parent1.reshape(h, w), S=size1.reshape(h, w),
+        ID=id1.reshape(h, w), merged=jnp.any(used), it=jnp.int32(1),
+        bucket=jnp.int32(0), flags=jnp.int32(0),
+    )
+    return gst, weights
+
+
+def _extract_compact(gst, weights, v: int):
+    """Dense planes -> deduped compact edge list + root list + stats.
+
+    Same construction as turbo's extract stage, at the larger capacities the
+    single-round handoff needs (components <= ~V/2 after round 1, vs V/128
+    after turbo's gossip gate)."""
+    h, w = gst.L.shape
+    pair_cap = max(v // 2, 16384)
+    comp_cap = max(v // 4, 16384)
+
+    ew4 = jnp.stack([weights[d] for d in range(4)], axis=-1).reshape(-1)
+    la = jnp.stack([gst.L] * 4, axis=-1).reshape(-1)
+    lb = jnp.stack(
+        [gg.shift_plane(gst.L, dy, dx, -1) for dy, dx in gg.DIRS4],
+        axis=-1,
+    ).reshape(-1)
+    eid4 = jnp.arange(4 * v, dtype=jnp.int32)
+    live4 = jnp.isfinite(ew4) & (la != lb) & (lb >= 0)
+    lo = jnp.where(live4, jnp.minimum(la, lb), INT32_MAX)
+    hi = jnp.where(live4, jnp.maximum(la, lb), INT32_MAX)
+    pm, plo, phi, pw, pe, pair_ovf = turbo._chunked_pair_extract(
+        lo, hi, ew4, eid4, pair_cap
+    )
+    plo = jnp.where(pm, plo, 0)
+    phi = jnp.where(pm, phi, 0)
+    pw = jnp.where(pm, pw, jnp.inf)
+    esrc = jnp.concatenate([plo, phi])
+    edst = jnp.concatenate([phi, plo])
+    ew = jnp.concatenate([pw, pw])
+    eeid = jnp.concatenate([pe, pe])
+
+    srt_src = jax.lax.sort(
+        (jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),)
+    )[0]
+    rhead = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), srt_src[1:] != srt_src[:-1]]
+    ) & (srt_src != INT32_MAX)
+    rm, (r0_arr,), root_ovf = turbo._select_compact(rhead, [srt_src],
+                                                    comp_cap)
+    r0 = jnp.where(rm, r0_arr, v)
+
+    flags0 = (
+        gst.flags
+        | jnp.where(pair_ovf, jnp.int32(turbo.FLAG_PAIR_OVERFLOW),
+                    jnp.int32(0))
+        | jnp.where(root_ovf, jnp.int32(turbo.FLAG_COMP_OVERFLOW),
+                    jnp.int32(0))
+    )
+    st = turbo.CompactState(
+        esrc=esrc, edst=edst, ew=ew, eeid=eeid,
+        SZf=gst.S.reshape(-1), IDf=gst.ID.reshape(-1),
+        fin=jnp.where(rm, r0_arr, 0),
+        merged=jnp.bool_(True), it=jnp.int32(0), bucket=jnp.int32(0),
+        phase=jnp.int32(0), flags=flags0,
+    )
+    return st, rm, r0
+
+
+def segment_fastmst_impl(image: jnp.ndarray, cfg: SegmentationConfig):
+    """(H, W, 3) -> (labels, flags): hook-sink root-id labels + overflow
+    flag bitmask (see turbo.FLAG_*)."""
+    h, w = image.shape[0], image.shape[1]
+    v = h * w
+    gst, weights = _round1_dense(image, cfg)
+    st, rm, r0 = _extract_compact(gst, weights, v)
+
+    comp_cap = max(v // 4, 16384)
+    thresholds = jnp.array([jnp.inf], dtype=jnp.float32)
+    # two rounds at entry capacity, recompact 4x smaller, then run out.
+    st = turbo._s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, 2,
+                         thresholds, 1, with_minsize=False,
+                         flag_exhaustion=False, canonical=False)
+    st, rec_ovf = turbo._recompact_edges(st, max(v // 8, 16384))
+    st = st._replace(
+        flags=st.flags | jnp.where(
+            rec_ovf, jnp.int32(turbo.FLAG_RECOMPACT_OVERFLOW), jnp.int32(0))
+    )
+    st = turbo._s2_phase(st, v, comp_cap, cfg.k, cfg.min_size,
+                         2 * cfg.max_iters, thresholds, 1,
+                         with_minsize=cfg.min_size > 1, canonical=False)
+
+    labels, fm_unconv = turbo._final_map(gst, st, rm, r0, 4 * (h + w))
+    flags = st.flags | jnp.where(
+        fm_unconv, jnp.int32(turbo.FLAG_GOSSIP_UNCONVERGED), jnp.int32(0)
+    )
+    return labels, flags
+
+
+segment_fastmst_flagged = jax.jit(
+    segment_fastmst_impl, static_argnames=("cfg",)
 )
 
 
-class EdgeSoA(NamedTuple):
-    """Directed edge list, static capacity. Invalid slots: w=+inf."""
-    src: jnp.ndarray   # (E,) int32
-    dst: jnp.ndarray   # (E,) int32
-    w: jnp.ndarray     # (E,) float32
-    eid: jnp.ndarray   # (E,) int32 canonical undirected edge id (tie-break)
-
-
-class FastMSTState(NamedTuple):
-    parent: jnp.ndarray
-    size: jnp.ndarray
-    intdiff: jnp.ndarray
-    edges: EdgeSoA
-    merged: jnp.ndarray
-    it: jnp.ndarray
-
-
-def build_directed_edges(weights: jnp.ndarray, valid: jnp.ndarray) -> EdgeSoA:
-    """Directed edge list (both orientations) from canonical planes.
-
-    The reference's Fast Graph Creation emits a compressed adjacency list
-    with each edge stored in both endpoint rows (Report.pdf p.3 §3.2.1);
-    here both orientations are two static interleaves of the canonical
-    planes. Capacity 8*H*W, invalid slots w=+inf.
-    """
-    src, dst, w, va = gg.edge_list(weights, valid)
-    e = src.shape[0]
-    eid = jnp.arange(e, dtype=jnp.int32)
-    src2 = jnp.concatenate([src, dst])
-    dst2 = jnp.concatenate([dst, src])
-    w2 = jnp.concatenate([w, w])
-    eid2 = jnp.concatenate([eid, eid])
-    w2 = jnp.where(jnp.concatenate([va, va]), w2, jnp.inf)
-    return EdgeSoA(src=src2, dst=dst2, w=w2, eid=eid2)
-
-
-def segmented_min_edge(edges: EdgeSoA, parent: jnp.ndarray, v: int):
-    """Per-component min outgoing edge via sort (the DPP schedule).
-
-    Sorts directed edges by (root(src), w, eid); run heads are each
-    component's minimum. Returns (comp_minw, comp_eid, comp_other), each (V,)
-    indexed by root id (+inf / INT32_MAX / self where absent).
-    Replaces the reference's packed-key radix sort + segmented-min scan
-    (Report.pdf p.3 §3.2.2) with one multi-operand lax.sort.
-    """
-    rs = parent[edges.src]
-    rd = parent[edges.dst]
-    outgoing = jnp.logical_and(jnp.isfinite(edges.w), rs != rd)
-    key_root = jnp.where(outgoing, rs, jnp.int32(v))  # dead edges sort last
-    key_w = jnp.where(outgoing, edges.w, jnp.inf)
-    srt_root, srt_w, srt_eid, srt_other = jax.lax.sort(
-        (key_root, key_w, edges.eid, rd), num_keys=3
+def segment_fastmst(image: jnp.ndarray, cfg: SegmentationConfig):
+    """Checked DPP entry: (H, W, 3) -> (H, W) int32 hook-sink root labels,
+    byte-identical to segment_atomic / the sequential oracle."""
+    labels, flags = segment_fastmst_flagged(image, cfg)
+    flags = int(flags)
+    if flags == 0:
+        return labels
+    msg = (
+        "fastmst capacity/budget violation: "
+        f"{turbo.describe_flags(flags)}"
     )
-    head = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), srt_root[1:] != srt_root[:-1]]
-    )
-    head = jnp.logical_and(head, srt_root < v)
+    if cfg.on_overflow == "fallback":
+        from .atomic_boruvka import segment_atomic
 
-    comp_minw = jnp.full((v,), jnp.inf, dtype=jnp.float32)
-    comp_eid = jnp.full((v,), INT32_MAX, dtype=jnp.int32)
-    comp_other = jnp.arange(v, dtype=jnp.int32)
-    tgt = jnp.where(head, srt_root, v)  # unique per component; v = dropped
-    comp_minw = comp_minw.at[tgt].set(srt_w, mode="drop")
-    comp_eid = comp_eid.at[tgt].set(srt_eid, mode="drop")
-    comp_other = comp_other.at[tgt].set(srt_other, mode="drop")
-    return comp_minw, comp_eid, comp_other
-
-
-def contract_edges(edges: EdgeSoA, parent: jnp.ndarray) -> EdgeSoA:
-    """Relabel endpoints to supervertex roots and invalidate self-edges.
-
-    The reference's "edge list relabel + self-edge removal + compaction"
-    (Report.pdf p.3 §3.2.2). Compaction is implicit: invalid edges carry
-    w=+inf and sort past live edges in the next round; shapes stay static.
-    """
-    rs = parent[edges.src]
-    rd = parent[edges.dst]
-    live = jnp.logical_and(jnp.isfinite(edges.w), rs != rd)
-    return EdgeSoA(
-        src=jnp.where(live, rs, 0),
-        dst=jnp.where(live, rd, 0),
-        w=jnp.where(live, edges.w, jnp.inf),
-        eid=edges.eid,
+        return segment_atomic(image, cfg)
+    if cfg.on_overflow == "ignore":
+        return labels
+    raise RuntimeError(
+        msg + " — rerun with SegmentationConfig(on_overflow='fallback') "
+        "to route to the atomic path"
     )
 
 
-def _round(state: FastMSTState, v: int, k: float, min_size: int, mode: str,
-           reweight_fn=None) -> FastMSTState:
-    parent, size, intdiff = state.parent, state.size, state.intdiff
-    edges = state.edges
-    arange = jnp.arange(v, dtype=jnp.int32)
+def segment_fastmst_hierarchy_impl(image: jnp.ndarray,
+                                   cfg: SegmentationConfig,
+                                   n_levels: int | None = None):
+    """Hierarchy mode: (levels (n_levels+1, H, W), labels, flags).
 
-    if reweight_fn is not None:
-        edges = reweight_fn(edges, state)
-
-    comp_minw, comp_eid, other = segmented_min_edge(edges, parent, v)
-    has = comp_eid != INT32_MAX
-
-    if mode == "felz":
-        thr = intdiff + k / size.astype(jnp.float32)
-        ok = jnp.logical_and(comp_minw <= thr, comp_minw <= thr[other])
-    elif mode == "minsize":
-        ok = size < min_size
-    elif mode == "always":  # superpixel-hierarchy pure-Boruvka rounds
-        ok = jnp.ones((v,), jnp.bool_)
-    else:  # pragma: no cover
-        raise ValueError(mode)
-    hook = jnp.logical_and(has, ok)
-
-    succ = jnp.where(hook, other, arange)
-    succ = remove_mutual_hooks(succ)
-    used = succ != arange
-
-    new_root_of = pointer_double(succ)
-    parent_new = new_root_of[parent]
-
-    is_root = parent == arange
-    size_new = segment_sum(jnp.where(is_root, size, 0), parent_new, v)
-    intdiff_new = segment_max(
-        jnp.where(is_root, intdiff, 0.0), parent_new, v, fill=0.0
-    )
-    intdiff_new = intdiff_new.at[parent_new].max(
-        jnp.where(used, comp_minw, 0.0), mode="drop"
-    )
-
-    edges_new = contract_edges(edges, parent_new)
-    return FastMSTState(
-        parent=parent_new,
-        size=size_new,
-        intdiff=intdiff_new,
-        edges=edges_new,
-        merged=jnp.any(used),
-        it=state.it + jnp.int32(1),
-    )
-
-
-def _init_state(v: int, edges: EdgeSoA) -> FastMSTState:
-    return FastMSTState(
-        parent=jnp.arange(v, dtype=jnp.int32),
-        size=jnp.ones((v,), dtype=jnp.int32),
-        intdiff=jnp.zeros((v,), dtype=jnp.float32),
-        edges=edges,
-        merged=jnp.bool_(True),
-        it=jnp.int32(0),
-    )
-
-
-def _run_phase(state, v, k, min_size, mode, max_iters, reweight_fn=None):
-    def cond(s):
-        return jnp.logical_and(s.merged, s.it < max_iters)
-
-    def body(s):
-        return _round(s, v, k, min_size, mode, reweight_fn)
-
-    state = state._replace(merged=jnp.bool_(True), it=jnp.int32(0))
-    return jax.lax.while_loop(cond, body, state)
-
-
-def prepare_edges(image: jnp.ndarray, cfg: SegmentationConfig) -> EdgeSoA:
-    smoothed = filters.gaussian_smooth(image, cfg.sigma)
-    weights, valid = gg.edge_weight_planes(
-        smoothed, cfg.connectivity, cfg.quantize_weight_bits
-    )
-    return build_directed_edges(weights, valid)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def segment_fastmst(image: jnp.ndarray, cfg: SegmentationConfig) -> jnp.ndarray:
-    """Sort-based DPP pipeline; must produce labels identical to
-    segment_atomic (same merge semantics, different parallel schedule)."""
+    Level 0 = singletons, level 1 = the dense round, levels 2+ = compact
+    rounds rendered through the round-1 value flood (reference Fast
+    Hierarchy Creation input, Report.pdf p.4 §3.2.3)."""
     h, w = image.shape[0], image.shape[1]
     v = h * w
-    edges = prepare_edges(image, cfg)
-    state = _init_state(v, edges)
-    state = _run_phase(state, v, cfg.k, cfg.min_size, "felz", cfg.max_iters)
-    if cfg.min_size > 1:
-        state = _run_phase(
-            state, v, cfg.k, cfg.min_size, "minsize", cfg.max_iters
-        )
-    return state.parent.reshape(h, w)
+    if n_levels is None:
+        n_levels = cfg.max_iters
+    gst, weights = _round1_dense(image, cfg)
+    st, rm, r0 = _extract_compact(gst, weights, v)
+
+    comp_cap = max(v // 4, 16384)
+    thresholds = jnp.array([jnp.inf], dtype=jnp.float32)
+    fins0 = jnp.zeros((n_levels, st.fin.shape[0]), jnp.int32)
+    st, fins, s2_count = turbo._s2_phase_capture(
+        st, v, comp_cap, cfg.k, cfg.min_size, 2, thresholds, 1,
+        False, fins0, jnp.int32(0), flag_exhaustion=False,
+        canonical=False,
+    )
+    st, rec_ovf = turbo._recompact_edges(st, max(v // 8, 16384))
+    st = st._replace(
+        flags=st.flags | jnp.where(
+            rec_ovf, jnp.int32(turbo.FLAG_RECOMPACT_OVERFLOW), jnp.int32(0))
+    )
+    st, fins, s2_count = turbo._s2_phase_capture(
+        st, v, comp_cap, cfg.k, cfg.min_size, 2 * cfg.max_iters,
+        thresholds, 1, cfg.min_size > 1, fins, s2_count, canonical=False,
+    )
+
+    li = jnp.arange(n_levels, dtype=jnp.int32)
+    last = jnp.maximum(jnp.minimum(s2_count, n_levels) - 1, 0)
+    fins = jnp.where(li[:, None] < s2_count, fins, fins[last][None])
+    fins = jnp.where(s2_count == 0, jnp.where(rm, r0, 0)[None], fins)
+
+    max_sweeps = 4 * (h + w)
+    vid2d = jnp.arange(v, dtype=jnp.int32).reshape(h, w)
+    seed_base = jnp.where(gst.L == vid2d, gst.L, INT32_MAX).reshape(-1)
+    r0_safe = jnp.where(rm, r0, v)
+
+    def render_fin(fin_l):
+        seed = seed_base.at[r0_safe].set(fin_l, mode="drop").reshape(h, w)
+        if turbo._use_pallas():
+            from ..ops.pallas import gossip as pg
+
+            return pg.value_flood(gst.L, seed, max_sweeps)
+        return turbo._value_flood(gst.L, seed, max_sweeps)
+
+    levels, unconvs = jax.lax.map(render_fin, fins)
+    labels, fm_unconv = turbo._final_map(gst, st, rm, r0, max_sweeps)
+    flags = st.flags | jnp.where(
+        fm_unconv | jnp.any(unconvs),
+        jnp.int32(turbo.FLAG_GOSSIP_UNCONVERGED), jnp.int32(0),
+    )
+    out = jnp.concatenate([vid2d[None], gst.L[None], levels], axis=0)
+    return out, labels, flags
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+segment_fastmst_hierarchy_flagged = jax.jit(
+    segment_fastmst_hierarchy_impl, static_argnames=("cfg", "n_levels")
+)
+
+
 def segment_fastmst_hierarchy(image: jnp.ndarray, cfg: SegmentationConfig):
-    """DPP Segmentation Hierarchies: per-round label capture (reference Fast
-    Hierarchy Creation input, Report.pdf p.4 §3.2.3).
+    """DPP Segmentation Hierarchies: per-round label capture.
 
-    Returns (levels (max_iters+1, H, W), final labels (H, W))."""
-    h, w = image.shape[0], image.shape[1]
-    v = h * w
-    edges = prepare_edges(image, cfg)
-    state = _init_state(v, edges)
-    levels0 = jnp.zeros((cfg.max_iters + 1, v), dtype=jnp.int32)
-    levels0 = levels0.at[0].set(state.parent)
+    Returns (levels (L, H, W), final labels (H, W))."""
+    levels, labels, flags = segment_fastmst_hierarchy_flagged(image, cfg)
+    flags = int(flags)
+    if flags == 0:
+        return levels, labels
+    msg = (
+        "fastmst capacity/budget violation: "
+        f"{turbo.describe_flags(flags)}"
+    )
+    if cfg.on_overflow == "fallback":
+        from .atomic_boruvka import segment_atomic_hierarchy
 
-    def body(i, carry):
-        state, levels = carry
-        state = jax.lax.cond(
-            state.merged,
-            lambda s: _round(s, v, cfg.k, cfg.min_size, "felz"),
-            lambda s: s,
-            state,
-        )
-        levels = levels.at[i + 1].set(state.parent)
-        return state, levels
-
-    state, levels = jax.lax.fori_loop(0, cfg.max_iters, body, (state, levels0))
-    if cfg.min_size > 1:
-        state = _run_phase(
-            state, v, cfg.k, cfg.min_size, "minsize", cfg.max_iters
-        )
-    return levels.reshape(cfg.max_iters + 1, h, w), state.parent.reshape(h, w)
+        return segment_atomic_hierarchy(image, cfg)
+    if cfg.on_overflow == "ignore":
+        return levels, labels
+    raise RuntimeError(msg)

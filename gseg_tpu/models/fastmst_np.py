@@ -120,7 +120,7 @@ def superpixel_hierarchy_np(image, cfg: SegmentationConfig):
     """NumPy superpixel-hierarchy prototype (P5): pure Boruvka rounds with
     weights recomputed each round as sobel_strength x ||avg_color diff||
     (Report.pdf p.4 §3.2.4). Returns (levels (L, H, W), final labels)."""
-    from .superpixel import _edge_strengths  # formula lives with the model
+    from .superpixel import _strength_planes  # formula lives with the model
 
     import jax.numpy as jnp
 
@@ -132,9 +132,10 @@ def superpixel_hierarchy_np(image, cfg: SegmentationConfig):
     ea, eb, _, ev = _edge_arrays(weights, valid, w)
     live = np.nonzero(ev)[0]
     ea, eb, eid = ea[live], eb[live], live.astype(np.int64)
-    strength = np.asarray(
-        _edge_strengths(jnp.asarray(image), cfg)
-    )[: 4 * v][live]
+    strength = (
+        np.asarray(_strength_planes(jnp.asarray(image), cfg))
+        .transpose(1, 2, 0).reshape(-1)[live]
+    )
 
     parent = np.arange(v, dtype=np.int64)
     size = np.ones(v, dtype=np.int64)

@@ -115,7 +115,9 @@ FLAG_ITERS_EXHAUSTED = 16     # stage-2 exited its round budget unconverged
 
 class GossipState(NamedTuple):
     L: jnp.ndarray       # (H, W) int32 canonical labels (min vertex id)
-    S: jnp.ndarray       # (H, W) int32 subtree sums; exact size at root pixel
+    S: jnp.ndarray       # (H, W) int32 component size at the root pixel
+    #                      (other pixels: any value <= the root's — the
+    #                      next compmin max-ride replicates the root value)
     ID: jnp.ndarray      # (H, W) float32 Int(C), replicated
     merged: jnp.ndarray  # () bool
     it: jnp.ndarray      # () int32
@@ -212,6 +214,82 @@ def _label_gossip(L, allow8, idf, dist, max_sweeps, comm=_DENSE_COMM):
     return st[0], st[1], st[2], st[3]
 
 
+def _label_gossip_nd(L, allow8, idf, max_sweeps, comm=_DENSE_COMM):
+    """Dist-free min-label flood (+ Int max ride). Used by the dense rounds
+    that size components via the root list instead of the BFS convergecast
+    — dropping the riding dist removes the one field whose fixpoint is
+    bound by component diameter even under scan closures (shortest-path
+    distances need diagonal staircase paths; labels/maxes don't)."""
+    def sweep(st):
+        Lc, idf, _, i = st
+        nL = comm.shifts8(Lc, INT32_MAX)
+        nid = comm.shifts8(idf, 0.0)
+        L0, id0 = Lc, idf
+        for d in range(8):
+            adopt = allow8[d] & (nL[d] < Lc)
+            Lc = jnp.where(adopt, nL[d], Lc)
+            idf = jnp.where(allow8[d] & (nid[d] > idf), nid[d], idf)
+        changed = comm.reduce_any(jnp.any((L0 != Lc) | (id0 != idf)))
+        return Lc, idf, changed, i + jnp.int32(1)
+
+    st = (L, idf, jnp.bool_(True), jnp.int32(0))
+    st = jax.lax.while_loop(lambda s: s[2] & (s[3] < max_sweeps), sweep, st)
+    return st[0], st[1], st[2]
+
+
+def _build_rlist(L, cap: int):
+    """Compact list of root-pixel flat ids (canonical labels: a root is the
+    pixel whose flat index equals its label). Returns ((cap,) ids with
+    INT32_MAX dead slots, overflow)."""
+    v = L.size
+    flat = jnp.arange(v, dtype=jnp.int32)
+    key = jnp.where(L.reshape(-1) == flat, flat, INT32_MAX)
+    srt = jax.lax.sort((key,))[0]
+    if cap >= v:
+        pad = jnp.full((cap - v,), INT32_MAX, jnp.int32)
+        return jnp.concatenate([srt, pad]), jnp.bool_(False)
+    return srt[:cap], srt[cap] != INT32_MAX
+
+
+def _rlist_sizes(rlist, Lnew, S_old):
+    """Exact new-component sizes from the old-root list.
+
+    Each new component is a disjoint union of old components, so its size
+    is the sum of the old roots' S values grouped by the old roots' NEW
+    label — one (cap,)-sized sort + segmented scan, no per-pixel work and
+    no diameter dependence. Returns (S plane: exact size at each new root
+    pixel / 0 elsewhere, new rlist). The list only shrinks (a flood's
+    cluster root is the min old label, itself an old root), so capacity is
+    checked once at creation."""
+    h, w = Lnew.shape
+    v = h * w
+    alive = rlist != INT32_MAX
+    safe = jnp.where(alive, rlist, 0)
+    Lr = jnp.where(alive, Lnew.reshape(-1)[safe], INT32_MAX)
+    Sr = jnp.where(alive, S_old.reshape(-1)[safe], 0)
+    s_lab, s_sz = jax.lax.sort((Lr, Sr), num_keys=1)
+    n = s_lab.shape[0]
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), s_lab[1:] != s_lab[:-1]]
+    )
+    tail = jnp.concatenate(
+        [s_lab[1:] != s_lab[:-1], jnp.ones((1,), jnp.bool_)]
+    )
+
+    def comb(a, b):
+        va, ha = a
+        vb, hb = b
+        return jnp.where(hb, vb, va + vb), ha | hb
+
+    acc, _ = jax.lax.associative_scan(comb, (s_sz, head))
+    live_tail = tail & (s_lab != INT32_MAX)
+    S_new = jnp.zeros((v,), jnp.int32).at[
+        jnp.where(live_tail, s_lab, v)
+    ].set(acc, mode="drop").reshape(h, w)
+    rlist_new = jnp.where(head & (s_lab != INT32_MAX), s_lab, INT32_MAX)
+    return S_new, rlist_new
+
+
 def _value_flood(L, val, max_sweeps, comm=_DENSE_COMM):
     """Min-value broadcast within same-L regions (XLA sweeps).
     Returns (val, unconverged)."""
@@ -277,7 +355,12 @@ def _subtree_sizes(L, dist, max_sweeps, comm=_DENSE_COMM):
 
 
 def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
-            tau=jnp.inf, comm=_DENSE_COMM):
+            tau=jnp.inf, comm=_DENSE_COMM, rlist=None):
+    """One gossip Boruvka round. rlist=None: sizes via BFS-dist convergecast
+    (subsum; right for small component diameters — the first rounds — and
+    the spatial comm mode). rlist given: dist-free flood + root-list sizes
+    (diameter-independent; the dense rounds-3+ scheme) — returns
+    (state, new rlist)."""
     L, S, ID = state.L, state.S, state.ID
 
     vminw, veid, nbrL = _vertex_min_outgoing(L, w8, eid8, tau, comm)
@@ -324,6 +407,29 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
     hook8 = allow8 & (nbrL != L[None])
     used_w8 = jnp.where(hook8, jnp.where(jnp.isfinite(w8), w8, 0.0), 0.0)
     id_init = jnp.maximum(ID, jnp.max(used_w8, axis=0))
+
+    if rlist is not None:
+        # dist-free flood + root-list sizes.
+        if _use_pallas() and comm.dense:
+            from ..ops.pallas import gossip as pg
+
+            Lnew, IDnew, lab_unconv = pg.label_flood(
+                pg.pack_allow_bits(allow), L, id_init, max_sweeps
+            )
+        else:
+            Lnew, IDnew, lab_unconv = _label_gossip_nd(
+                L, allow8, id_init, max_sweeps, comm
+            )
+        Snew, rlist_new = _rlist_sizes(rlist, Lnew, S)
+        unconv = unconv | lab_unconv
+        flags = state.flags | jnp.where(
+            unconv, jnp.int32(FLAG_GOSSIP_UNCONVERGED), jnp.int32(0)
+        )
+        return GossipState(
+            L=Lnew, S=Snew, ID=IDnew, merged=merged,
+            it=state.it + jnp.int32(1), bucket=state.bucket, flags=flags,
+        ), rlist_new
+
     # BFS dist rides the flood: seeded 0 at current roots; the new cluster
     # root (an old root that keeps its label) retains 0, absorbed roots get
     # overwritten on adoption.
@@ -410,9 +516,14 @@ def _pair_dedup(esrc, edst, ew, eid, cap):
 
 
 def _s2_round(st: CompactState, v, comp_cap, k, min_size, is_felz,
-              tau=jnp.inf):
+              tau=jnp.inf, canonical: bool = True):
     """One compact round. is_felz: traced bool — predicate-gated felz round
-    vs min-size round (one compiled body serves both phases)."""
+    vs min-size round (one compiled body serves both phases).
+
+    canonical (static): relabel each merged cluster to its minimum member
+    root (turbo's canonical min-vertex labels) vs keep the hook-chain sink
+    root (the atomic/oracle root-id convention — used by the fastmst DPP
+    path so all three parallel schedules emit byte-identical labels)."""
     esrc, edst, ew = st.esrc, st.edst, st.ew
     tau_eff = jnp.where(is_felz, tau, jnp.inf)
     live = (esrc != edst) & jnp.isfinite(ew) & (ew <= tau_eff)
@@ -474,13 +585,16 @@ def _s2_round(st: CompactState, v, comp_cap, k, min_size, is_felz,
     )
     nr = hsrc[croot]
 
-    # canonical min-vertex representative: nr already IS the min? No — the
-    # hook sink. Relabel cluster to min member root for canonical labels:
-    # min over {c : nr(c) == r}: scatter-min member ids keyed by sink.
-    canon = jnp.full((v,), INT32_MAX, jnp.int32).at[
-        jnp.where(hm, nr, v)
-    ].min(jnp.where(hm, hsrc, INT32_MAX), mode="drop")
-    nr_canon = jnp.where(hm, canon[nr], hsrc)
+    if canonical:
+        # canonical min-vertex representative: nr is the hook-chain sink;
+        # relabel the cluster to its min member root: scatter-min member
+        # ids keyed by sink.
+        canon = jnp.full((v,), INT32_MAX, jnp.int32).at[
+            jnp.where(hm, nr, v)
+        ].min(jnp.where(hm, hsrc, INT32_MAX), mode="drop")
+        nr_canon = jnp.where(hm, canon[nr], hsrc)
+    else:
+        nr_canon = nr  # hook-sink roots (atomic/oracle id convention)
     changed = hm & (nr_canon != hsrc)
 
     M = iota.at[hsrc_safe].set(nr_canon, mode="drop")
@@ -509,7 +623,7 @@ def _s2_round(st: CompactState, v, comp_cap, k, min_size, is_felz,
 
 def _s2_phase(st: CompactState, v, comp_cap, k, min_size, max_iters,
               thresholds, nb, with_minsize: bool,
-              flag_exhaustion: bool = True):
+              flag_exhaustion: bool = True, canonical: bool = True):
     """Felz rounds to convergence, then (optionally) min-size rounds, in ONE
     while_loop: st.phase flips 0 -> 1 when felz converges with all buckets
     open. One loop = one compiled round body for both phases.
@@ -522,7 +636,8 @@ def _s2_phase(st: CompactState, v, comp_cap, k, min_size, max_iters,
     def body(s):
         is_felz = s.phase == 0
         tau = thresholds[s.bucket]
-        s2 = _s2_round(s, v, comp_cap, k, min_size, is_felz, tau=tau)
+        s2 = _s2_round(s, v, comp_cap, k, min_size, is_felz, tau=tau,
+                       canonical=canonical)
         # bucket ramp (felz only)
         more_buckets = is_felz & (s.bucket + 1 < nb)
         s2 = s2._replace(
@@ -590,16 +705,7 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
     # off to stage 2 much earlier there (at proportionally larger caps).
     gate_c = v // 32 if cfg.weight_buckets > 0 else v // 128
 
-    def gcond(s):
-        # run at least `gossip_rounds`, then keep gossiping until stage-2
-        # capacities are safe (measured: deduped pair count ~ 3.5x component
-        # count, so the gate keeps pairs under the pair capacity).
-        c = jnp.sum((s.L == vid).astype(jnp.int32))
-        return s.merged & ((s.it < gossip_rounds) | (c > gate_c))
-
-    def gbody(s):
-        s2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz",
-                     max_sweeps, tau=thresholds[s.bucket])
+    def advance(s, s2):
         # quality mode: the cap advances one bucket per round; keep looping
         # while buckets remain even if this round merged nothing.
         more = s.bucket + 1 < nb
@@ -608,7 +714,38 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
             merged=s2.merged | more,
         )
 
-    return jax.lax.while_loop(gcond, gbody, gst), weights, thresholds
+    # PEEL: the first two rounds run the subsum sizes scheme (cluster
+    # diameters are tiny, the convergecast is near-free), then the
+    # surviving roots become the compact root list and rounds 3+ run the
+    # diameter-independent dist-free scheme.
+    for _ in range(2):
+        gst = advance(gst, _ground(
+            gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
+            tau=thresholds[gst.bucket],
+        ))
+    rcap = max(v // 8, 16384)
+    rlist, rovf = _build_rlist(gst.L, rcap)
+    gst = gst._replace(
+        flags=gst.flags
+        | jnp.where(rovf, jnp.int32(FLAG_COMP_OVERFLOW), jnp.int32(0))
+    )
+
+    def gcond(c):
+        # run at least `gossip_rounds`, then keep gossiping until stage-2
+        # capacities are safe (measured: deduped pair count ~ 3.5x component
+        # count, so the gate keeps pairs under the pair capacity).
+        s = c[0]
+        cnt = jnp.sum((s.L == vid).astype(jnp.int32))
+        return s.merged & ((s.it < gossip_rounds) | (cnt > gate_c))
+
+    def gbody(c):
+        s, rl = c
+        s2, rl2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz",
+                          max_sweeps, tau=thresholds[s.bucket], rlist=rl)
+        return advance(s, s2), rl2
+
+    gst, _ = jax.lax.while_loop(gcond, gbody, (gst, rlist))
+    return gst, weights, thresholds
 
 
 def _chunked_pair_extract(lo, hi, w4, eid4, pair_cap, chunk=131072):
@@ -871,8 +1008,30 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
         merged=jnp.bool_(True), it=jnp.int32(0), bucket=jnp.int32(0),
         flags=jnp.int32(0),
     )
-    levels0 = jnp.zeros((n_levels, h, w), jnp.int32)
+    levels = jnp.zeros((n_levels, h, w), jnp.int32)
     gate_c = v // 32 if cfg.weight_buckets > 0 else v // 128
+
+    def advance(s, s2):
+        more = s.bucket + 1 < nb
+        return s2._replace(
+            bucket=jnp.minimum(s.bucket + 1, nb - 1),
+            merged=s2.merged | more,
+        )
+
+    # peel the first two rounds (subsum sizes; see _stage_g).
+    for _ in range(2):
+        it0 = gst.it
+        gst = advance(gst, _ground(
+            gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
+            tau=thresholds[gst.bucket],
+        ))
+        levels = levels.at[jnp.minimum(it0, n_levels - 1)].set(gst.L)
+    rcap = max(v // 8, 16384)
+    rlist, rovf = _build_rlist(gst.L, rcap)
+    gst = gst._replace(
+        flags=gst.flags
+        | jnp.where(rovf, jnp.int32(FLAG_COMP_OVERFLOW), jnp.int32(0))
+    )
 
     def gcond(c):
         s = c[0]
@@ -880,24 +1039,22 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
         return s.merged & ((s.it < gossip_rounds) | (comp > gate_c))
 
     def gbody(c):
-        s, levels = c
-        s2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz",
-                     max_sweeps, tau=thresholds[s.bucket])
-        more = s.bucket + 1 < nb
-        s2 = s2._replace(
-            bucket=jnp.minimum(s.bucket + 1, nb - 1),
-            merged=s2.merged | more,
-        )
+        s, levels, rl = c
+        s2, rl2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz",
+                          max_sweeps, tau=thresholds[s.bucket], rlist=rl)
+        s2 = advance(s, s2)
         levels = levels.at[jnp.minimum(s.it, n_levels - 1)].set(s2.L)
-        return s2, levels
+        return s2, levels, rl2
 
-    (gst, levels) = jax.lax.while_loop(gcond, gbody, (gst, levels0))
+    (gst, levels, _) = jax.lax.while_loop(
+        gcond, gbody, (gst, levels, rlist)
+    )
     return gst, weights, thresholds, levels
 
 
 def _s2_phase_capture(st: CompactState, v, comp_cap, k, min_size, max_iters,
                       thresholds, nb, with_minsize, fins, cur,
-                      flag_exhaustion=True):
+                      flag_exhaustion=True, canonical: bool = True):
     """_s2_phase that also records `fin` after each FELZ round into
     fins[(cur)] (min-size rounds refine the same hierarchy level)."""
     n_levels = fins.shape[0]
@@ -910,7 +1067,8 @@ def _s2_phase_capture(st: CompactState, v, comp_cap, k, min_size, max_iters,
         s, fins, cur = c
         is_felz = s.phase == 0
         tau = thresholds[s.bucket]
-        s2 = _s2_round(s, v, comp_cap, k, min_size, is_felz, tau=tau)
+        s2 = _s2_round(s, v, comp_cap, k, min_size, is_felz, tau=tau,
+                       canonical=canonical)
         more_buckets = is_felz & (s.bucket + 1 < nb)
         s2 = s2._replace(
             bucket=jnp.where(is_felz,

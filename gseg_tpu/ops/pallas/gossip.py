@@ -390,6 +390,35 @@ def _label_closure(pre, rw, rows, wp):
     return _closure_4dir(allow, _label_combine, rw, rows, wp)
 
 
+def _labelnd_step(pre, rw, rows, wp):
+    """Dist-free min-label flood + Int max ride (see models/turbo.py
+    _label_gossip_nd)."""
+    (allow,) = pre
+    Lc, idf = rw
+    for d, (dy, dx) in enumerate(gg.DIRS8):
+        ok = ((allow >> d) & 1) > 0
+        nL = _nbr(Lc, dy, dx, rows, wp)
+        nid = _nbr(idf, dy, dx, rows, wp)
+        adopt = ok & (nL < Lc)
+        Lc = jnp.where(adopt, nL, Lc)
+        idf = jnp.where(ok & (nid > idf), nid, idf)
+    return Lc, idf
+
+
+def _labelnd_combine(cands, fields, s, rch):
+    cL, cid = cands
+    Lc, idf = fields
+    ok = rch > 0
+    Lc = jnp.where(ok & (cL < Lc), cL, Lc)
+    idf = jnp.where(ok & (cid > idf), cid, idf)
+    return [Lc, idf]
+
+
+def _labelnd_closure(pre, rw, rows, wp):
+    (allow,) = pre
+    return _closure_4dir(allow, _labelnd_combine, rw, rows, wp)
+
+
 def _value_step(pre, rw, rows, wp):
     """Min-value broadcast within same-label regions (final-map apply)."""
     (bits,) = pre
@@ -490,6 +519,24 @@ def label_gossip(allow_bits, Lc, idf, dist, max_sweeps):
         h, w, max_passes,
     )
     return Lc, idf, dist, unconv
+
+
+def label_flood(allow_bits, Lc, idf, max_sweeps):
+    """Dist-free min-label flood. Returns (Lc, idf, unconverged).
+
+    The production stage-G flood for rounds sized by the root list
+    (models/turbo.py): without the riding BFS dist the fields are pure
+    min/max semilattices, so the scan closures converge in staircase
+    complexity at any component diameter."""
+    h, w = Lc.shape
+    max_passes = -(-max_sweeps // T)
+    (Lc, idf), unconv = _hybrid_fixpoint(
+        _allow_prepare, _labelnd_step, _labelnd_closure,
+        [(allow_bits, 0)], [(transpose_allow_bits(allow_bits), 0)],
+        [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0)],
+        h, w, max_passes,
+    )
+    return Lc, idf, unconv
 
 
 def value_flood(L, val, max_sweeps):

@@ -81,6 +81,37 @@ def test_label_flood_matches_xla(shape):
         assert np.array_equal(np.asarray(r), np.asarray(g))
 
 
+@pytest.mark.parametrize("shape", SHAPES[:2])
+def test_label_flood_nodist_matches_xla(shape):
+    """Dist-free flood (rlist-sizes rounds) vs the XLA dist-free sweeps."""
+    h, w = shape
+    rng = np.random.default_rng(3 * h + w)
+    L = jnp.asarray(_rand_labels(rng, h, w, 6))
+    idf = jnp.asarray(rng.uniform(0, 5, (h, w)).astype(np.float32))
+    mark4 = rng.integers(0, 2, (4, h, w)).astype(bool)
+    ms = 4 * (h + w)
+
+    import gseg_tpu.ops.grid_graph as gg
+
+    for d, (dy, dx) in enumerate(gg.DIRS4):
+        mark4[d] &= np.asarray(gg.valid_plane(h, w, dy, dx))
+    nbrL = jnp.stack([gg.shift_plane(L, dy, dx, -1) for dy, dx in gg.DIRS8])
+    allow = []
+    for d in range(8):
+        if d < 4:
+            am = jnp.asarray(mark4[d])
+        else:
+            dy, dx = gg.DIRS4[d - 4]
+            am = gg.shift_plane(jnp.asarray(mark4[d - 4]), -dy, -dx, False)
+        allow.append((nbrL[d] == L) | am)
+    allow8 = jnp.stack(allow)
+    rL, rI, _ = turbo._label_gossip_nd(L, allow8, idf, ms)
+    with pltpu.force_tpu_interpret_mode():
+        gL, gI, _ = pg.label_flood(pg.pack_allow_bits(allow), L, idf, ms)
+    assert np.array_equal(np.asarray(rL), np.asarray(gL))
+    assert np.array_equal(np.asarray(rI), np.asarray(gI))
+
+
 def _canonicalize(L2d):
     """Connected-component relabel to min flat vertex id (NumPy BFS)."""
     h, w = L2d.shape
