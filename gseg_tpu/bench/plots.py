@@ -57,6 +57,34 @@ REFERENCE_TOTALS = {
 }
 
 
+def plot_quality_cdf(rows: List[dict], out_path: str):
+    """Appendix-B style: empirical CDFs of ASA (left) and UE (right) per
+    algorithm (reference Report.pdf Appendix B, docs/figure-data.md)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    algos = sorted({r["algorithm"] for r in rows})
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4.5))
+    for a in algos:
+        for ax, key in ((ax1, "asa"), (ax2, "ue")):
+            vals = np.sort([r[key] for r in rows if r["algorithm"] == a])
+            cdf = np.arange(1, len(vals) + 1) / len(vals)
+            ax.step(vals, cdf, where="post", label=a)
+    ax1.set_title("ASA empirical CDF")
+    ax1.set_xlabel("ASA")
+    ax2.set_title("UE empirical CDF")
+    ax2.set_xlabel("UE")
+    for ax in (ax1, ax2):
+        ax.set_ylabel("fraction of images")
+        ax.grid(True, alpha=0.3)
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    return out_path
+
+
 def plot_quality(rows: List[dict], out_path: str):
     """Fig. 4 style: ASA and UE box plots per algorithm."""
     import matplotlib

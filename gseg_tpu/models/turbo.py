@@ -251,24 +251,13 @@ def _build_rlist(L, cap: int):
     return srt[:cap], srt[cap] != INT32_MAX
 
 
-def _rlist_sizes(rlist, Lnew, S_old):
-    """Exact new-component sizes from the old-root list.
-
-    Each new component is a disjoint union of old components, so its size
-    is the sum of the old roots' S values grouped by the old roots' NEW
-    label — one (cap,)-sized sort + segmented scan, no per-pixel work and
-    no diameter dependence. Returns (S plane: exact size at each new root
-    pixel / 0 elsewhere, new rlist). The list only shrinks (a flood's
-    cluster root is the min old label, itself an old root), so capacity is
-    checked once at creation."""
-    h, w = Lnew.shape
+def _sum_by_label(lab, val, h, w):
+    """Sum `val` grouped by `lab` (labels are root-pixel flat ids;
+    INT32_MAX = dead) -> ((H, W) plane with each group's total at its root
+    pixel / 0 elsewhere, sorted-unique label list (INT32_MAX dead)).
+    One pool-sized sort + segmented scan + pool-sized scatter."""
     v = h * w
-    alive = rlist != INT32_MAX
-    safe = jnp.where(alive, rlist, 0)
-    Lr = jnp.where(alive, Lnew.reshape(-1)[safe], INT32_MAX)
-    Sr = jnp.where(alive, S_old.reshape(-1)[safe], 0)
-    s_lab, s_sz = jax.lax.sort((Lr, Sr), num_keys=1)
-    n = s_lab.shape[0]
+    s_lab, s_sz = jax.lax.sort((lab, val), num_keys=1)
     head = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), s_lab[1:] != s_lab[:-1]]
     )
@@ -283,11 +272,49 @@ def _rlist_sizes(rlist, Lnew, S_old):
 
     acc, _ = jax.lax.associative_scan(comb, (s_sz, head))
     live_tail = tail & (s_lab != INT32_MAX)
-    S_new = jnp.zeros((v,), jnp.int32).at[
+    S = jnp.zeros((v,), jnp.int32).at[
         jnp.where(live_tail, s_lab, v)
     ].set(acc, mode="drop").reshape(h, w)
-    rlist_new = jnp.where(head & (s_lab != INT32_MAX), s_lab, INT32_MAX)
-    return S_new, rlist_new
+    roots = jnp.where(head & (s_lab != INT32_MAX), s_lab, INT32_MAX)
+    return S, roots
+
+
+def _rlist_sizes(rlist, Lnew, S_old):
+    """Exact new-component sizes from the old-root list.
+
+    Each new component is a disjoint union of old components, so its size
+    is the sum of the old roots' S values grouped by the old roots' NEW
+    label — one (cap,)-sized sort + segmented scan, no per-pixel work and
+    no diameter dependence. Returns (S plane: exact size at each new root
+    pixel / 0 elsewhere, new rlist). The list only shrinks (a flood's
+    cluster root is the min old label, itself an old root), so capacity is
+    checked once at creation."""
+    h, w = Lnew.shape
+    alive = rlist != INT32_MAX
+    safe = jnp.where(alive, rlist, 0)
+    Lr = jnp.where(alive, Lnew.reshape(-1)[safe], INT32_MAX)
+    Sr = jnp.where(alive, S_old.reshape(-1)[safe], 0)
+    return _sum_by_label(Lr, Sr, h, w)
+
+
+def _component_sizes(L, cap: int):
+    """Exact per-component pixel counts, diameter-independent: Pallas row-
+    run extraction + pool-sized sum-by-label on TPU, a counting scatter-add
+    elsewhere. Returns ((H, W) plane: size at root pixel / 0 elsewhere,
+    overflow)."""
+    h, w = L.shape
+    v = h * w
+    if _use_pallas():
+        from ..ops.pallas import extract as px
+
+        lab, cnt, _, ovf = px.run_extract(L, cap)
+        S, _ = _sum_by_label(lab, cnt, h, w)
+        return S, ovf
+    S = jnp.zeros((v,), jnp.int32).at[L.reshape(-1)].add(
+        1, mode="drop"
+    ).reshape(h, w)
+    S = jnp.where(L == jnp.arange(v, dtype=jnp.int32).reshape(h, w), S, 0)
+    return S, jnp.bool_(False)
 
 
 def _value_flood(L, val, max_sweeps, comm=_DENSE_COMM):
@@ -355,12 +382,17 @@ def _subtree_sizes(L, dist, max_sweeps, comm=_DENSE_COMM):
 
 
 def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
-            tau=jnp.inf, comm=_DENSE_COMM, rlist=None):
-    """One gossip Boruvka round. rlist=None: sizes via BFS-dist convergecast
-    (subsum; right for small component diameters — the first rounds — and
-    the spatial comm mode). rlist given: dist-free flood + root-list sizes
-    (diameter-independent; the dense rounds-3+ scheme) — returns
-    (state, new rlist)."""
+            tau=jnp.inf, comm=_DENSE_COMM, rlist=None, sizes="subsum",
+            size_cap=0):
+    """One gossip Boruvka round. Sizes schemes:
+
+    - sizes="subsum" (spatial comm mode): BFS-dist rides the flood, sizes
+      via the parent-tree convergecast — works under halo exchange.
+    - sizes="count" (dense peel rounds): dist-free flood; exact sizes by
+      row-run counting (`_component_sizes`, capacity `size_cap`).
+    - sizes="rlist" (dense rounds 3+): dist-free flood; sizes by grouping
+      the compact old-root list (`rlist`) — returns (state, new rlist).
+    """
     L, S, ID = state.L, state.S, state.ID
 
     vminw, veid, nbrL = _vertex_min_outgoing(L, w8, eid8, tau, comm)
@@ -408,8 +440,8 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
     used_w8 = jnp.where(hook8, jnp.where(jnp.isfinite(w8), w8, 0.0), 0.0)
     id_init = jnp.maximum(ID, jnp.max(used_w8, axis=0))
 
-    if rlist is not None:
-        # dist-free flood + root-list sizes.
+    if sizes in ("rlist", "count"):
+        # dist-free flood (the dense schemes).
         if _use_pallas() and comm.dense:
             from ..ops.pallas import gossip as pg
 
@@ -420,15 +452,23 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
             Lnew, IDnew, lab_unconv = _label_gossip_nd(
                 L, allow8, id_init, max_sweeps, comm
             )
-        Snew, rlist_new = _rlist_sizes(rlist, Lnew, S)
         unconv = unconv | lab_unconv
+        if sizes == "rlist":
+            Snew, rlist_new = _rlist_sizes(rlist, Lnew, S)
+            size_ovf = jnp.bool_(False)
+        else:
+            Snew, size_ovf = _component_sizes(Lnew, size_cap)
+            rlist_new = None
         flags = state.flags | jnp.where(
             unconv, jnp.int32(FLAG_GOSSIP_UNCONVERGED), jnp.int32(0)
+        ) | jnp.where(
+            size_ovf, jnp.int32(FLAG_COMP_OVERFLOW), jnp.int32(0)
         )
-        return GossipState(
+        out = GossipState(
             L=Lnew, S=Snew, ID=IDnew, merged=merged,
             it=state.it + jnp.int32(1), bucket=state.bucket, flags=flags,
-        ), rlist_new
+        )
+        return (out, rlist_new) if sizes == "rlist" else out
 
     # BFS dist rides the flood: seeded 0 at current roots; the new cluster
     # root (an old root that keeps its label) retains 0, absorbed roots get
@@ -721,7 +761,8 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
     for _ in range(2):
         gst = advance(gst, _ground(
             gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
-            tau=thresholds[gst.bucket],
+            tau=thresholds[gst.bucket], sizes="count",
+            size_cap=max(v // 2, 16384),
         ))
     rcap = max(v // 8, 16384)
     rlist, rovf = _build_rlist(gst.L, rcap)
@@ -741,7 +782,8 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
     def gbody(c):
         s, rl = c
         s2, rl2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz",
-                          max_sweeps, tau=thresholds[s.bucket], rlist=rl)
+                          max_sweeps, tau=thresholds[s.bucket], rlist=rl,
+                          sizes="rlist")
         return advance(s, s2), rl2
 
     gst, _ = jax.lax.while_loop(gcond, gbody, (gst, rlist))
@@ -1023,7 +1065,8 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
         it0 = gst.it
         gst = advance(gst, _ground(
             gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
-            tau=thresholds[gst.bucket],
+            tau=thresholds[gst.bucket], sizes="count",
+            size_cap=max(v // 2, 16384),
         ))
         levels = levels.at[jnp.minimum(it0, n_levels - 1)].set(gst.L)
     rcap = max(v // 8, 16384)
@@ -1041,7 +1084,8 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
     def gbody(c):
         s, levels, rl = c
         s2, rl2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz",
-                          max_sweeps, tau=thresholds[s.bucket], rlist=rl)
+                          max_sweeps, tau=thresholds[s.bucket], rlist=rl,
+                          sizes="rlist")
         s2 = advance(s, s2)
         levels = levels.at[jnp.minimum(s.it, n_levels - 1)].set(s2.L)
         return s2, levels, rl2

@@ -188,6 +188,152 @@ def _compact_tall(vals, keep, n_rows):
     return vals, keep_i > 0, total
 
 
+def _runs_kernel(L_ref, lab_ref, cnt_ref, meta_ref, off_sm, sems, *,
+                 h, w, s_rows, wp, cap_rows, win_rows):
+    """One strip of run_extract: per-row maximal same-label runs collapse
+    to (label, length) at the run tail, then in-VMEM stream compaction and
+    dynamic-offset output DMAs (the boundary_extract machinery minus edge
+    building — rows are independent, so no halo)."""
+    i = pl.program_id(0)
+    nstrips = pl.num_programs(0)
+    tall = s_rows * wp // LANES
+    n_win = _cdiv(tall, win_rows)
+
+    @pl.when(i == 0)
+    def _():
+        off_sm[0] = 0
+        off_sm[1] = 0
+
+    def body(Lslab, stage):
+        cpL = pltpu.make_async_copy(
+            L_ref.at[pl.ds(i * s_rows, s_rows), :], Lslab, sems.at[0]
+        )
+        cpL.start()
+        cpL.wait()
+
+        Ls = Lslab[:]
+        col = jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 1)
+        rowg = (
+            jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 0)
+            + i * s_rows
+        )
+        live = (rowg < h) & (col < w)
+        same = live & _roll(live, 1, 1) & (Ls == _roll(Ls, 1, 1)) & (col > 0)
+        # head position per lane: reach-composed max-scan of head indices.
+        head = live & jnp.logical_not(same)
+        hp = jnp.where(head, col, -1)
+        reach = same.astype(jnp.int32)
+        s = 1
+        while s < wp:
+            cand = pltpu.roll(hp, s, 1)
+            hp = jnp.where((reach > 0) & (cand > hp), cand, hp)
+            if 2 * s < wp:
+                reach = reach & pltpu.roll(reach, s, 1)
+            s *= 2
+        nxt_same = _roll(same, (-1) % wp, 1)
+        tail = live & jnp.logical_not(nxt_same & (col < wp - 1))
+        runlen = col - hp + 1
+        lab = jnp.where(tail, Ls, INT32_MAX)
+        cnt = jnp.where(tail, runlen, 0)
+
+        lab = lab.reshape(tall, LANES)
+        cnt = cnt.reshape(tall, LANES)
+        keep = lab != INT32_MAX
+        (lab, cnt), kept, total = _compact_tall([lab, cnt], keep, tall)
+        stage[0][:, :] = jnp.where(kept, lab, INT32_MAX)
+        stage[1][:, :] = jnp.where(kept, cnt, 0)
+
+        off = off_sm[0]
+        used_rows = _cdiv_t(total)
+        out_over = off + used_rows > cap_rows
+        for j in range(n_win):
+            @pl.when(j * win_rows < used_rows)
+            def _(j=j):
+                sj = jnp.clip(off + j * win_rows, 0, cap_rows - win_rows)
+                cps = []
+                for a, ref in enumerate((lab_ref, cnt_ref)):
+                    cp = pltpu.make_async_copy(
+                        stage[a].at[pl.ds(j * win_rows, win_rows), :],
+                        ref.at[pl.ds(sj, win_rows), :],
+                        sems.at[1 + a],
+                    )
+                    cp.start()
+                    cps.append(cp)
+                for cp in cps:
+                    cp.wait()
+
+        off_sm[0] = jnp.minimum(off + used_rows, jnp.int32(cap_rows))
+        off_sm[1] = off_sm[1] | jnp.where(
+            out_over, jnp.int32(1), jnp.int32(0)
+        )
+
+        @pl.when(i == nstrips - 1)
+        def _():
+            meta_ref[0, 0] = off_sm[0] * LANES
+            meta_ref[0, 1] = off_sm[1]
+
+    pl.run_scoped(
+        body,
+        Lslab=pltpu.VMEM((s_rows, wp), jnp.int32),
+        stage=[
+            pltpu.VMEM((tall, LANES), jnp.int32),
+            pltpu.VMEM((tall, LANES), jnp.int32),
+        ],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def run_extract(L, cap: int):
+    """Compacted (label, run-length) pairs of the row runs of L.
+
+    L: (H, W) int32 labels. Returns (lab, cnt, total, overflow): (cap,)
+    arrays (dead slots lab=INT32_MAX / cnt=0), a () int32 count upper
+    bound, and a () bool overflow. Summing cnt by lab gives exact
+    per-component pixel counts — the diameter-independent component-size
+    path (models/turbo.py peel rounds)."""
+    h, w = L.shape
+    wp = _cdiv(w, LANES) * LANES
+    s_rows = max(_pick_srows(wp) * 2, 8)
+    hp = _cdiv(h, s_rows) * s_rows
+    nstrips = hp // s_rows
+    cap_rows = cap // LANES
+    tall = s_rows * wp // LANES
+    win_rows = min(max(_cdiv(tall, 8), 8), cap_rows)
+
+    Lp = jnp.pad(L, ((0, hp - h), (0, wp - w)), constant_values=-1)
+    kernel = functools.partial(
+        _runs_kernel, h=h, w=w, s_rows=s_rows, wp=wp, cap_rows=cap_rows,
+        win_rows=win_rows,
+    )
+    lab, cnt, meta = pl.pallas_call(
+        kernel,
+        grid=(nstrips,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((cap_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(Lp)
+    count = meta[0, 0]
+    overflow = meta[0, 1] > 0
+    idx = jnp.arange(cap_rows * LANES, dtype=jnp.int32)
+    written = idx < count
+    lab = jnp.where(written, lab.reshape(-1), INT32_MAX)
+    cnt = jnp.where(written, cnt.reshape(-1), 0)
+    return lab, cnt, count, overflow
+
+
 def _extract_kernel(L_ref, w_ref, lo_ref, hi_ref, wout_ref, eid_ref,
                     meta_ref, off_sm, sems, *, h, w, s_rows, wp, cap_rows,
                     win_rows):

@@ -235,6 +235,30 @@ def _strip_call(prepare_fn, step_fn, closure_fn, ro_fields, rw_fields, h, w,
 WARM_PASSES = 4  # step-only passes before the scan machinery engages
 
 
+def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes):
+    """Step-only T-step passes, row orientation (no closures). For
+    fixpoints the scan closures cannot accelerate — the riding-BFS-dist
+    variant (shortest paths need diagonal staircase steps) — and for
+    small-diameter regimes."""
+    s_row = _pick_strip_rows(-(-w // 128) * 128)
+    fills = [f for _, f in rw_fields]
+
+    def cond(st):
+        return st[0] & (st[1] < max_passes)
+
+    def body(st):
+        _, it, rw = st
+        rw, ch = _strip_call(
+            prepare_fn, step_fn, None, ro_row,
+            list(zip(rw, fills)), h, w, s_row, T,
+        )
+        return ch, it + jnp.int32(1), tuple(rw)
+
+    st = (jnp.bool_(True), jnp.int32(0), tuple(x for x, _ in rw_fields))
+    st = jax.lax.while_loop(cond, body, st)
+    return list(st[2]), st[0]
+
+
 def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
                      rw_fields, h, w, max_passes):
     """Two-phase fixpoint driver.
@@ -369,27 +393,6 @@ def _label_step(pre, rw, rows, wp):
     return Lc, idf, dist
 
 
-def _label_combine(cands, fields, s, rch):
-    """(L, dist) combine lexicographically in the min-plus semiring (a
-    candidate from distance s arrives with dist + s); Int rides as max."""
-    cL, cid, cd = cands
-    Lc, idf, dist = fields
-    big = jnp.int32(1 << 30)
-    ok = rch > 0
-    cd2 = jnp.where(cd >= big, big, cd + s)
-    adopt = ok & (cL < Lc)
-    relax = ok & (cL == Lc) & (cd2 < dist)
-    dist = jnp.where(adopt | relax, cd2, dist)
-    Lc = jnp.where(adopt, cL, Lc)
-    idf = jnp.where(ok & (cid > idf), cid, idf)
-    return [Lc, idf, dist]
-
-
-def _label_closure(pre, rw, rows, wp):
-    (allow,) = pre
-    return _closure_4dir(allow, _label_combine, rw, rows, wp)
-
-
 def _labelnd_step(pre, rw, rows, wp):
     """Dist-free min-label flood + Int max ride (see models/turbo.py
     _label_gossip_nd)."""
@@ -511,9 +514,9 @@ def label_gossip(allow_bits, Lc, idf, dist, max_sweeps):
     """
     h, w = Lc.shape
     max_passes = -(-max_sweeps // T)
-    (Lc, idf, dist), unconv = _hybrid_fixpoint(
-        _allow_prepare, _label_step, _label_closure,
-        [(allow_bits, 0)], [(transpose_allow_bits(allow_bits), 0)],
+    (Lc, idf, dist), unconv = _step_fixpoint(
+        _allow_prepare, _label_step,
+        [(allow_bits, 0)],
         [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0),
          (dist, jnp.int32(1 << 30))],
         h, w, max_passes,

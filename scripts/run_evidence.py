@@ -1,0 +1,175 @@
+"""Evidence campaign: reference figure set with our curves, on the real chip.
+
+Runs (sequentially, resumable — each section skips if its artifact exists
+unless --force):
+
+  1. Fig. 2 performance ladder (reference README.md:25-28, Report.pdf p.4
+     §4.1): per-algorithm resolution ladders, 960x540 .. 7680x4320. Rung
+     ceilings per algorithm keep the compile budget sane (atomic is
+     scatter-bound and hostsync pays ~30 ms/round through the tunnel; the
+     8K rung is turbo-only and doubles as the no-2^26-px-cap demonstration,
+     reference extract:345-355).
+  2. Fig. 3 conventional-vs-device-orchestrated study (bench/fig3.py).
+  3. Fig. 4 quality benchmark on the synthetic quality set (BSDS500 is not
+     obtainable in this environment — zero egress; the synthetic set has
+     exact ground truth, n=20, and exercises the same ASA/UE protocol).
+  4. Plots: Fig. 2 log-log with reference overlays, Fig. 4 box plots +
+     Appendix-B-style CDFs.
+
+Usage: python scripts/run_evidence.py [--force] [--out bench_out]
+"""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from gseg_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from gseg_tpu.bench import harness
+from gseg_tpu.bench import plots
+from gseg_tpu.config import SegmentationConfig
+
+# (algorithm, rung ceiling index into RESOLUTION_LADDER, extra cfg kwargs)
+LADDERS = [
+    ("turbo", 7, {}),
+    ("turbo_wb16", 5, {"weight_buckets": 16}),
+    ("fastmst", 5, {}),
+    ("superpixel", 5, {}),
+    ("atomic", 3, {}),
+    ("atomic_hostsync", 1, {}),
+]
+
+QUALITY_ALGOS = [
+    ("turbo", {}),
+    ("turbo_wb16", {"weight_buckets": 16}),
+    ("fastmst", {}),
+    ("atomic", {}),
+    ("superpixel", {}),
+    ("kruskal_native", {}),
+    ("boruvka_cpu", {}),
+]
+
+
+def base_algo(name: str) -> str:
+    return "turbo" if name.startswith("turbo") else name
+
+
+def section_perf(out_dir: str) -> list:
+    rows = []
+    path = os.path.join(out_dir, "perf.jsonl")
+    for name, ceil_idx, extra in LADDERS:
+        cfg = SegmentationConfig(k=300.0, min_size=100, **extra)
+        resolutions = harness.RESOLUTION_LADDER[:ceil_idx]
+        t0 = time.time()
+        print(f"[perf] {name}: {len(resolutions)} rungs", flush=True)
+        try:
+            rs = harness.run_performance_ladder(
+                algorithms=[base_algo(name)], resolutions=resolutions,
+                reps=5, cfg=cfg,
+            )
+        except Exception as e:  # keep the campaign going; record the miss
+            print(f"[perf] {name} FAILED: {e}", flush=True)
+            rows.append({"algorithm": name, "error": str(e)})
+            continue
+        for r in rs:
+            r["algorithm"] = name
+        rows.extend(rs)
+        print(f"[perf] {name} done in {time.time()-t0:.0f}s", flush=True)
+        with open(path, "w") as f:  # checkpoint after every ladder
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    return rows
+
+
+def section_quality(out_dir: str) -> list:
+    from gseg_tpu.metrics.compare import asa_ue_best_gt
+    from gseg_tpu.utils.datasets import synthetic_quality_set
+    from gseg_tpu.utils.labels import compact_labels_np
+
+    import jax.numpy as jnp
+
+    rows = []
+    samples = list(synthetic_quality_set(n=20))
+    for name, extra in QUALITY_ALGOS:
+        cfg = SegmentationConfig(k=80.0, min_size=100, **extra)
+        fn = harness.segment_fn(base_algo(name), cfg)
+        t0 = time.time()
+        for iname, image, gts in samples:
+            labels = np.asarray(fn(jnp.asarray(image)))
+            asa, ue = asa_ue_best_gt(compact_labels_np(labels), gts)
+            rows.append(
+                {"image": iname, "algorithm": name, "asa": asa, "ue": ue}
+            )
+        med = np.median([r["asa"] for r in rows if r["algorithm"] == name])
+        print(f"[quality] {name}: ASA median {med:.4f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="bench_out")
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--sections", default="perf,fig3,quality,plots")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    sections = args.sections.split(",")
+
+    perf_path = os.path.join(args.out, "perf.jsonl")
+    if "perf" in sections and (args.force or not _done(perf_path)):
+        section_perf(args.out)
+
+    fig3_path = os.path.join(args.out, "fig3.jsonl")
+    if "fig3" in sections and (args.force or not _done(fig3_path)):
+        import subprocess
+
+        print("[fig3] running", flush=True)
+        subprocess.run(
+            [sys.executable, "-m", "gseg_tpu.bench.fig3", "--reps", "100",
+             "--out", fig3_path],
+            check=False,
+        )
+
+    qual_path = os.path.join(args.out, "quality.jsonl")
+    if "quality" in sections and (args.force or not _done(qual_path)):
+        rows = section_quality(args.out)
+        with open(qual_path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    if "plots" in sections:
+        perf_rows = _load(perf_path)
+        if perf_rows:
+            plots.plot_performance(
+                [r for r in perf_rows if "error" not in r],
+                os.path.join(args.out, "perf.png"),
+                reference=plots.REFERENCE_TOTALS,
+            )
+        qual_rows = _load(qual_path)
+        if qual_rows:
+            plots.plot_quality(qual_rows,
+                               os.path.join(args.out, "quality.png"))
+            plots.plot_quality_cdf(qual_rows,
+                                   os.path.join(args.out, "quality_cdf.png"))
+        print("[plots] written", flush=True)
+
+
+def _done(path):
+    return os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def _load(path):
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+if __name__ == "__main__":
+    main()

@@ -102,3 +102,25 @@ def test_boundary_extract_overflow_flag():
             jnp.asarray(L), jnp.asarray(weights), w, 256
         )
     assert bool(overflow)
+
+
+@pytest.mark.parametrize("shape", [(23, 70), (40, 128)])
+def test_run_extract_counts(shape):
+    """run_extract pool sums by label == exact component pixel counts."""
+    from gseg_tpu.ops.pallas.extract import run_extract
+
+    h, w = shape
+    rng = np.random.default_rng(h * 3 + w)
+    L = rng.integers(0, 6, (h, w)).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        lab, cnt, total, ovf = run_extract(jnp.asarray(L), 1 << 14)
+    assert not bool(ovf)
+    lab = np.asarray(lab)
+    cnt = np.asarray(cnt)
+    live = lab != np.iinfo(np.int32).max
+    got = {}
+    for l, c in zip(lab[live].tolist(), cnt[live].tolist()):
+        got[l] = got.get(l, 0) + c
+    for val in np.unique(L):
+        assert got[int(val)] == int((L == val).sum())
+    assert int(total) >= int(live.sum())

@@ -245,3 +245,38 @@ def test_hierarchy_per_level_partitions_match_fastmst():
         a = canonical_min_labels_np(np.asarray(t_levels[i]))
         b = canonical_min_labels_np(np.asarray(f_levels[i]))
         assert np.array_equal(a, b), f"level {i} partitions differ"
+
+
+def test_rlist_sizes_exact():
+    """_rlist_sizes: exact new-component sizes from an old-root list."""
+    from gseg_tpu.models.turbo import _build_rlist, _rlist_sizes
+
+    rng = np.random.default_rng(9)
+    h, w = 17, 23
+    v = h * w
+    # old partition: random blocks canonicalized to min flat id
+    from tests.test_pallas_gossip import _canonicalize
+
+    L_old = jnp.asarray(_canonicalize(
+        rng.integers(0, 5, (h, w)).astype(np.int32)))
+    # new partition: coarsen by merging labels mod groups, canonical again
+    groups = {int(r): int(r) // 2 for r in np.unique(np.asarray(L_old))}
+    Lnew_np = _canonicalize(
+        np.vectorize(lambda r: groups[int(r)])(np.asarray(L_old)))
+    Lnew = jnp.asarray(Lnew_np)
+    # old sizes at old roots
+    S_old = np.zeros((h, w), np.int32)
+    for r in np.unique(np.asarray(L_old)):
+        ry, rx = divmod(int(r), w)
+        S_old[ry, rx] = int((np.asarray(L_old) == r).sum())
+    rlist, ovf = _build_rlist(L_old, 16384)
+    assert not bool(ovf)
+    S_new, rlist_new = _rlist_sizes(rlist, Lnew, jnp.asarray(S_old))
+    S_new = np.asarray(S_new)
+    for r in np.unique(Lnew_np):
+        ry, rx = divmod(int(r), w)
+        assert S_new[ry, rx] == int((Lnew_np == r).sum())
+    # new list holds exactly the new roots
+    live = np.asarray(rlist_new)
+    live = np.sort(live[live != np.iinfo(np.int32).max])
+    assert np.array_equal(live, np.unique(Lnew_np))
