@@ -272,7 +272,7 @@ def segment_fastmst_hierarchy_impl(image: jnp.ndarray,
         if turbo._use_pallas():
             from ..ops.pallas import gossip as pg
 
-            return pg.value_flood(gst.L, seed, max_sweeps)
+            return pg.value_flood(gst.L, seed, max_sweeps)[:2]
         return turbo._value_flood(gst.L, seed, max_sweeps)
 
     levels, unconvs = jax.lax.map(render_fin, fins)

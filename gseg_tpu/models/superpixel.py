@@ -281,7 +281,7 @@ def _render(L1, fin, rm, r0, h, w):
     if turbo._use_pallas():
         from ..ops.pallas import gossip as pg
 
-        return pg.value_flood(L1, seed, ms)
+        return pg.value_flood(L1, seed, ms)[:2]
     return turbo._value_flood(L1, seed, ms)
 
 

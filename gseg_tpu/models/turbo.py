@@ -14,16 +14,20 @@ Architecture (SURVEY.md §7 "hard parts" resolved TPU-first):
 
   STAGE G — gossip rounds while components are small. All per-component
   reductions are dense 8-neighbor propagations over the pixel grid
-  (components of a grid graph are connected, so flood-fills converge in
-  component-diameter sweeps):
+  (Pallas temporal-blocking strip kernels with segmented scan closures;
+  ops/pallas/gossip.py) or compact-pool reductions:
     - component min edge: lexmin (w, eid) gossip,
-    - merged-cluster labels (canonical min-vertex-id): min-label gossip over
-      same-component + passing-hook adjacency,
-    - Int(C): max-gossip riding the label flood,
-    - |C|: BFS-tree convergecast (dist gossip -> parent dirs -> iterated
-      subtree sums), exact at the canonical root pixel,
-  with zero V-sized gathers or scatters. The number of components drops
-  ~4x per round (measured), so diameters stay small while stage G runs.
+    - merged-cluster labels (canonical min-vertex-id): min-label gossip
+      over same-component + passing-hook adjacency, with Int(C) riding as
+      a max,
+    - |C|: exact counting, diameter-independent — the first two (peeled)
+      rounds count row runs (ops/pallas/extract.py run_extract + a
+      pool-sized sum-by-label), later rounds group the compact old-root
+      list by new label (`_rlist_sizes`; a new component is a disjoint
+      union of old ones). The spatial comm path keeps the BFS-dist
+      convergecast instead (works under halo exchange).
+  No V-sized gathers or scatters anywhere. The number of components drops
+  ~4x per round (measured), so the compact pools shrink as stage G runs.
 
   STAGE 2 — compact rounds once the boundary-edge set is small. Live
   boundary edges are extracted at 64-lane block granularity (row-gathers,
@@ -36,7 +40,8 @@ Architecture (SURVEY.md §7 "hard parts" resolved TPU-first):
   Capacities shrink geometrically across sub-stages. The min-size
   post-pass runs in the same representation.
 
-  FINAL — one V-gather maps stage-G labels through the stage-2 root map.
+  FINAL — each component's final root is scattered onto its root pixel and
+  value-flooded to the rest of the component (no V-sized gather).
 
 Component ids are canonical min-vertex labels throughout; the partition is
 representative-independent (tie-breaks use canonical edge ids; the predicate
@@ -298,18 +303,16 @@ def _rlist_sizes(rlist, Lnew, S_old):
 
 
 def _component_sizes(L, cap: int):
-    """Exact per-component pixel counts, diameter-independent: Pallas row-
-    run extraction + pool-sized sum-by-label on TPU, a counting scatter-add
-    elsewhere. Returns ((H, W) plane: size at root pixel / 0 elsewhere,
-    overflow)."""
+    """Exact per-component pixel counts for the peel rounds: one flat
+    counting scatter-add keyed by label (~7 ns/pixel on v5e, diameter-
+    independent, no capacity). The peel states have ~V/4 components, where
+    any pool representation (runs, roots) is pixel-scale anyway — the flat
+    scatter is the cheapest exact option (ops/pallas/extract.py
+    run_extract is the pool alternative once components thin out; rounds
+    3+ use the even cheaper root-list grouping). Returns ((H, W) plane:
+    size at root pixel / 0 elsewhere, overflow=False)."""
     h, w = L.shape
     v = h * w
-    if _use_pallas():
-        from ..ops.pallas import extract as px
-
-        lab, cnt, _, ovf = px.run_extract(L, cap)
-        S, _ = _sum_by_label(lab, cnt, h, w)
-        return S, ovf
     S = jnp.zeros((v,), jnp.int32).at[L.reshape(-1)].add(
         1, mode="drop"
     ).reshape(h, w)
@@ -399,7 +402,8 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
     if _use_pallas() and comm.dense:
         from ..ops.pallas import gossip as pg
 
-        cw, ce, SZ, unconv = pg.compmin_gossip(L, vminw, veid, S, max_sweeps)
+        cw, ce, SZ, unconv, _ = pg.compmin_gossip(L, vminw, veid, S,
+                                                   max_sweeps)
     else:
         cw, ce, SZ, unconv = _compmin_gossip(
             L, vminw, veid, S, max_sweeps, comm
@@ -445,7 +449,7 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
         if _use_pallas() and comm.dense:
             from ..ops.pallas import gossip as pg
 
-            Lnew, IDnew, lab_unconv = pg.label_flood(
+            Lnew, IDnew, lab_unconv, _ = pg.label_flood(
                 pg.pack_allow_bits(allow), L, id_init, max_sweeps
             )
         else:
@@ -477,7 +481,7 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
     if _use_pallas() and comm.dense:
         from ..ops.pallas import gossip as pg
 
-        Lnew, IDnew, dist, lab_unconv = pg.label_gossip(
+        Lnew, IDnew, dist, lab_unconv, _ = pg.label_gossip(
             pg.pack_allow_bits(allow), L, id_init, dist0, max_sweeps
         )
     else:
@@ -743,7 +747,7 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
     # quality mode merges cheapest edges first, which grows thin
     # high-diameter components — gossip sweeps scale with diameter, so hand
     # off to stage 2 much earlier there (at proportionally larger caps).
-    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 128
+    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 64
 
     def advance(s, s2):
         # quality mode: the cap advances one bucket per round; keep looping
@@ -758,11 +762,11 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
     # diameters are tiny, the convergecast is near-free), then the
     # surviving roots become the compact root list and rounds 3+ run the
     # diameter-independent dist-free scheme.
-    for _ in range(2):
+    for peel_cap in (v // 2, v // 4):
         gst = advance(gst, _ground(
             gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
             tau=thresholds[gst.bucket], sizes="count",
-            size_cap=max(v // 2, 16384),
+            size_cap=max(peel_cap, 16384),
         ))
     rcap = max(v // 8, 16384)
     rlist, rovf = _build_rlist(gst.L, rcap)
@@ -861,7 +865,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     h, w = gst.L.shape
     v = h * w
     # headroom for cross-chunk duplicate pairs (see _chunked_pair_extract).
-    pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 24, 16384)
+    pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 12, 16384)
     if _use_pallas():
         # ---- Pallas path: the boundary_extract kernel does the dense ->
         # sparse transition on the VPU (run-dedup + in-VMEM stream
@@ -919,7 +923,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     # ---- initial-root list for the final map: every component with at
     # least one live edge (components without live edges can never merge in
     # stage 2, so identity entries in the final map are correct for them).
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 48, 16384)
     srt_src = jax.lax.sort((jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),))[0]
     rhead = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), srt_src[1:] != srt_src[:-1]]
@@ -945,7 +949,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
 def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
               nb: int) -> CompactState:
     """All stage-2 compact rounds: 2 warmup rounds, recompact, main phase."""
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 48, 16384)
     # NOTE: live head/pair counts do NOT shrink with felz convergence
     # (non-merging components keep live boundary edges and stay heads every
     # round), so the component capacity must hold the stage-entry bound
@@ -953,10 +957,13 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     # monotonically under merges, so one recompact after the first rounds
     # is safe with 2x headroom.
     s2_iters = 2 * cfg.max_iters + nb
-    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, 2, thresholds, nb,
-                   with_minsize=False, flag_exhaustion=False)
+    # one warmup round shrinks live pairs ~4x (quality mode merges slower
+    # under the bucket ramp: keep two rounds and a larger recompact cap).
+    warm_rounds = 2 if cfg.weight_buckets > 0 else 1
+    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, warm_rounds,
+                   thresholds, nb, with_minsize=False, flag_exhaustion=False)
     st, rec_ovf = _recompact_edges(
-        st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
+        st, max(v // 16 if cfg.weight_buckets > 0 else v // 32, 16384)
     )
     st = st._replace(
         flags=st.flags
@@ -986,7 +993,7 @@ def _final_map(gst: GossipState, st: CompactState, rm, r0, max_sweeps):
     if _use_pallas():
         from ..ops.pallas import gossip as pg
 
-        return pg.value_flood(gst.L, seed, max_sweeps)
+        return pg.value_flood(gst.L, seed, max_sweeps)[:2]
     return _value_flood(gst.L, seed, max_sweeps)
 
 
@@ -1051,7 +1058,7 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
         flags=jnp.int32(0),
     )
     levels = jnp.zeros((n_levels, h, w), jnp.int32)
-    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 128
+    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 64
 
     def advance(s, s2):
         more = s.bucket + 1 < nb
@@ -1061,12 +1068,12 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
         )
 
     # peel the first two rounds (subsum sizes; see _stage_g).
-    for _ in range(2):
+    for peel_cap in (v // 2, v // 4):
         it0 = gst.it
         gst = advance(gst, _ground(
             gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
             tau=thresholds[gst.bucket], sizes="count",
-            size_cap=max(v // 2, 16384),
+            size_cap=max(peel_cap, 16384),
         ))
         levels = levels.at[jnp.minimum(it0, n_levels - 1)].set(gst.L)
     rcap = max(v // 8, 16384)
@@ -1163,15 +1170,16 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
     g_count = jnp.minimum(gst.it, n_levels)
     st, rm, r0 = _extract_stage(gst, weights, cfg)
 
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 48, 16384)
     s2_iters = 2 * cfg.max_iters + nb
     fins0 = jnp.zeros((n_levels, st.fin.shape[0]), jnp.int32)
+    warm_rounds = 2 if cfg.weight_buckets > 0 else 1
     st, fins, s2_count = _s2_phase_capture(
-        st, v, comp_cap, cfg.k, cfg.min_size, 2, thresholds, nb,
+        st, v, comp_cap, cfg.k, cfg.min_size, warm_rounds, thresholds, nb,
         False, fins0, jnp.int32(0), flag_exhaustion=False,
     )
     st, rec_ovf = _recompact_edges(
-        st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
+        st, max(v // 16 if cfg.weight_buckets > 0 else v // 32, 16384)
     )
     st = st._replace(
         flags=st.flags
@@ -1204,7 +1212,7 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
         if _use_pallas():
             from ..ops.pallas import gossip as pg
 
-            lab, unconv = pg.value_flood(gst.L, seed, max_sweeps)
+            lab, unconv, _ = pg.value_flood(gst.L, seed, max_sweeps)
         else:
             lab, unconv = _value_flood(gst.L, seed, max_sweeps)
         return lab, unconv

@@ -232,7 +232,13 @@ def _strip_call(prepare_fn, step_fn, closure_fn, ro_fields, rw_fields, h, w,
     return new_rw, changed
 
 
-WARM_PASSES = 4  # step-only passes before the scan machinery engages
+# Step-only passes before the scan-closure machinery engages. Measured on
+# v5e: a step pass costs ~1 ms @1080p while a closure pass-pair costs
+# ~15-20 ms (closure stages are serially-dependent multi-vreg lane rolls,
+# ~1-6 us each with no ILP), so closures only pay off past ~128 sweeps —
+# extreme-diameter components (quality-mode thin shapes, pathological
+# inputs) where step passes would need hundreds of HBM passes.
+WARM_PASSES = 16
 
 
 def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes):
@@ -256,7 +262,7 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes):
 
     st = (jnp.bool_(True), jnp.int32(0), tuple(x for x, _ in rw_fields))
     st = jax.lax.while_loop(cond, body, st)
-    return list(st[2]), st[0]
+    return list(st[2]), st[0], st[1]
 
 
 def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
@@ -309,7 +315,7 @@ def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
 
     st = jax.lax.while_loop(cond2, body2, st)
     # st[0] still True at exit <=> the pass budget ended the loop unconverged.
-    return list(st[2]), st[0]
+    return list(st[2]), st[0], st[1]
 
 
 # ---------------------------------------------------------------------------
@@ -491,13 +497,13 @@ def compmin_gossip(L, bw, be, sz, max_sweeps):
     """Returns (bw, be, sz, unconverged)."""
     h, w = L.shape
     max_passes = -(-max_sweeps // T)
-    (bw, be, sz), unconv = _hybrid_fixpoint(
+    (bw, be, sz), unconv, passes = _hybrid_fixpoint(
         _compmin_prepare, _compmin_step, _compmin_closure,
         [(L, -1)], [(L.T, -1)],
         [(bw, jnp.inf), (be, jnp.iinfo(jnp.int32).max), (sz, 0)],
         h, w, max_passes,
     )
-    return bw, be, sz, unconv
+    return bw, be, sz, unconv, passes
 
 
 def label_gossip(allow_bits, Lc, idf, dist, max_sweeps):
@@ -514,14 +520,14 @@ def label_gossip(allow_bits, Lc, idf, dist, max_sweeps):
     """
     h, w = Lc.shape
     max_passes = -(-max_sweeps // T)
-    (Lc, idf, dist), unconv = _step_fixpoint(
+    (Lc, idf, dist), unconv, passes = _step_fixpoint(
         _allow_prepare, _label_step,
         [(allow_bits, 0)],
         [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0),
          (dist, jnp.int32(1 << 30))],
         h, w, max_passes,
     )
-    return Lc, idf, dist, unconv
+    return Lc, idf, dist, unconv, passes
 
 
 def label_flood(allow_bits, Lc, idf, max_sweeps):
@@ -533,13 +539,13 @@ def label_flood(allow_bits, Lc, idf, max_sweeps):
     complexity at any component diameter."""
     h, w = Lc.shape
     max_passes = -(-max_sweeps // T)
-    (Lc, idf), unconv = _hybrid_fixpoint(
+    (Lc, idf), unconv, passes = _hybrid_fixpoint(
         _allow_prepare, _labelnd_step, _labelnd_closure,
         [(allow_bits, 0)], [(transpose_allow_bits(allow_bits), 0)],
         [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0)],
         h, w, max_passes,
     )
-    return Lc, idf, unconv
+    return Lc, idf, unconv, passes
 
 
 def value_flood(L, val, max_sweeps):
@@ -550,12 +556,12 @@ def value_flood(L, val, max_sweeps):
     random gather (~7 ns/index) with dense scan-closure passes.
     """
     h, w = L.shape
-    (val,), unconv = _hybrid_fixpoint(
+    (val,), unconv, passes = _hybrid_fixpoint(
         _compmin_prepare, _value_step, _value_closure,
         [(L, -1)], [(L.T, -1)],
         [(val, jnp.iinfo(jnp.int32).max)], h, w, -(-max_sweeps // T),
     )
-    return val, unconv
+    return val, unconv, passes
 
 
 def subtree_sums(pdir, s, max_sweeps):

@@ -94,7 +94,8 @@ def main(h=1080, w=1920):
     vmin = jax.jit(lambda s: turbo._vertex_min_outgoing(s.L, w8, eid8))
     vminw, veid, _ = timeit("  r3 vertexmin ", vmin, g2)
     cm = jax.jit(lambda L, bw, be, S: pg.compmin_gossip(L, bw, be, S, ms))
-    timeit("  r3 compmin   ", cm, g2.L, vminw, veid, g2.S)
+    out = timeit("  r3 compmin   ", cm, g2.L, vminw, veid, g2.S)
+    print(f"    compmin passes: {int(out[4])}", flush=True)
     sizes = jax.jit(lambda r, L, S: turbo._rlist_sizes(r, L, S))
     timeit("  r3 rlistsizes", sizes, rl, g3.L, g2.S)
 
@@ -107,7 +108,17 @@ def main(h=1080, w=1920):
             bits = bits | ((nbrL[d] == L).astype(jnp.int32) << d)
         return pg.label_flood(bits, L, idf, ms)
 
-    timeit("  r3 flood(sameL)", flood, g2.L, g2.ID)
+    out = timeit("  r3 flood(sameL)", flood, g2.L, g2.ID)
+    print(f"    flood passes: {int(out[3])}", flush=True)
+
+    # warm-pass sweep on the full round 3
+    for warm in (2, 8, 1 << 20):
+        pg.WARM_PASSES = warm
+        gr = jax.jit(lambda s, r: turbo._ground(
+            s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", ms, rlist=r,
+            sizes="rlist"))
+        timeit(f"  round3 warm={warm:>7}", gr, g2, rl)
+    pg.WARM_PASSES = 4
 
 
 if __name__ == "__main__":

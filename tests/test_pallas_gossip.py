@@ -107,7 +107,7 @@ def test_label_flood_nodist_matches_xla(shape):
     allow8 = jnp.stack(allow)
     rL, rI, _ = turbo._label_gossip_nd(L, allow8, idf, ms)
     with pltpu.force_tpu_interpret_mode():
-        gL, gI, _ = pg.label_flood(pg.pack_allow_bits(allow), L, idf, ms)
+        gL, gI, _, _ = pg.label_flood(pg.pack_allow_bits(allow), L, idf, ms)
     assert np.array_equal(np.asarray(rL), np.asarray(gL))
     assert np.array_equal(np.asarray(rI), np.asarray(gI))
 
