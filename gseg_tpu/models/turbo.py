@@ -747,7 +747,7 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
     # quality mode merges cheapest edges first, which grows thin
     # high-diameter components — gossip sweeps scale with diameter, so hand
     # off to stage 2 much earlier there (at proportionally larger caps).
-    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 64
+    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 128
 
     def advance(s, s2):
         # quality mode: the cap advances one bucket per round; keep looping
@@ -865,7 +865,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     h, w = gst.L.shape
     v = h * w
     # headroom for cross-chunk duplicate pairs (see _chunked_pair_extract).
-    pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 12, 16384)
+    pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 24, 16384)
     if _use_pallas():
         # ---- Pallas path: the boundary_extract kernel does the dense ->
         # sparse transition on the VPU (run-dedup + in-VMEM stream
@@ -923,7 +923,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     # ---- initial-root list for the final map: every component with at
     # least one live edge (components without live edges can never merge in
     # stage 2, so identity entries in the final map are correct for them).
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 48, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
     srt_src = jax.lax.sort((jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),))[0]
     rhead = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), srt_src[1:] != srt_src[:-1]]
@@ -949,7 +949,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
 def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
               nb: int) -> CompactState:
     """All stage-2 compact rounds: 2 warmup rounds, recompact, main phase."""
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 48, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
     # NOTE: live head/pair counts do NOT shrink with felz convergence
     # (non-merging components keep live boundary edges and stay heads every
     # round), so the component capacity must hold the stage-entry bound
@@ -963,7 +963,7 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, warm_rounds,
                    thresholds, nb, with_minsize=False, flag_exhaustion=False)
     st, rec_ovf = _recompact_edges(
-        st, max(v // 16 if cfg.weight_buckets > 0 else v // 32, 16384)
+        st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
     )
     st = st._replace(
         flags=st.flags
@@ -1058,7 +1058,7 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
         flags=jnp.int32(0),
     )
     levels = jnp.zeros((n_levels, h, w), jnp.int32)
-    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 64
+    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 128
 
     def advance(s, s2):
         more = s.bucket + 1 < nb
@@ -1170,7 +1170,7 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
     g_count = jnp.minimum(gst.it, n_levels)
     st, rm, r0 = _extract_stage(gst, weights, cfg)
 
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 48, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
     s2_iters = 2 * cfg.max_iters + nb
     fins0 = jnp.zeros((n_levels, st.fin.shape[0]), jnp.int32)
     warm_rounds = 2 if cfg.weight_buckets > 0 else 1
@@ -1179,7 +1179,7 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
         False, fins0, jnp.int32(0), flag_exhaustion=False,
     )
     st, rec_ovf = _recompact_edges(
-        st, max(v // 16 if cfg.weight_buckets > 0 else v // 32, 16384)
+        st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
     )
     st = st._replace(
         flags=st.flags

@@ -21,25 +21,25 @@ from ..config import SegmentationConfig
 def _segment_batch_impl(images: jnp.ndarray, cfg: SegmentationConfig):
     """Returns (labels (B, H, W), flags () int32 OR over the batch)."""
     from ..models.atomic_boruvka import segment_atomic_impl
-    from ..models.fastmst import segment_fastmst
-    from ..models.superpixel import segment_superpixel
+    from ..models.fastmst import segment_fastmst_impl
+    from ..models.superpixel import segment_superpixel_impl
     from ..models.turbo import segment_turbo_impl
 
-    if cfg.algorithm == "turbo":
-        # lax.map (one jitted program, sequential over the batch): the turbo
-        # path's Pallas kernels and data-adaptive while_loops don't vmap;
-        # per-image convergence also avoids vmap's lockstep worst-case.
-        labels, flags = jax.lax.map(
-            lambda im: segment_turbo_impl(im, cfg), images
-        )
-        return labels, jax.lax.associative_scan(jnp.bitwise_or, flags)[-1]
+    if cfg.algorithm == "atomic":
+        labels = jax.vmap(lambda im: segment_atomic_impl(im, cfg))(images)
+        return labels, jnp.int32(0)
 
+    # lax.map (one jitted program, sequential over the batch) for the
+    # compact-round paths: their Pallas kernels and data-adaptive
+    # while_loops don't vmap, and per-image convergence avoids vmap's
+    # lockstep worst-case. Flags are OR-reduced over the batch.
     fn = {
-        "atomic": segment_atomic_impl,
-        "fastmst": segment_fastmst,
-        "superpixel": segment_superpixel,
+        "turbo": segment_turbo_impl,
+        "fastmst": segment_fastmst_impl,
+        "superpixel": segment_superpixel_impl,
     }[cfg.algorithm]
-    return jax.vmap(lambda im: fn(im, cfg))(images), jnp.int32(0)
+    labels, flags = jax.lax.map(lambda im: fn(im, cfg), images)
+    return labels, jax.lax.associative_scan(jnp.bitwise_or, flags)[-1]
 
 
 segment_batch_flagged = jax.jit(_segment_batch_impl, static_argnames=("cfg",))

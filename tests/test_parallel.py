@@ -106,3 +106,19 @@ def test_turbo_spatial_minsize_and_edgecases():
     assert int(flags) == 0
     dense = np.asarray(segment_turbo(jnp.asarray(img), cfg))
     assert np.array_equal(np.asarray(labels), dense)
+
+
+def test_segment_batch_fastmst_and_superpixel():
+    """Batched compact-round paths (lax.map of the flagged impls)."""
+    from gseg_tpu.models.fastmst import segment_fastmst
+    from gseg_tpu.models.superpixel import segment_superpixel
+
+    imgs = np.stack([blobs_image(16, 24, 4, 5.0, s) for s in range(2)])
+    for algo, single in (
+        ("fastmst", segment_fastmst), ("superpixel", segment_superpixel)
+    ):
+        cfg = SegmentationConfig(k=120.0, min_size=4, algorithm=algo,
+                                 max_iters=16)
+        out = np.asarray(segment_batch(jnp.asarray(imgs), cfg))
+        ref = np.asarray(single(jnp.asarray(imgs[1]), cfg))
+        assert np.array_equal(out[1], ref)
