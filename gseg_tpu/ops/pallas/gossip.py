@@ -241,28 +241,148 @@ def _strip_call(prepare_fn, step_fn, closure_fn, ro_fields, rw_fields, h, w,
 WARM_PASSES = 16
 
 
-def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes):
-    """Step-only T-step passes, row orientation (no closures). For
-    fixpoints the scan closures cannot accelerate — the riding-BFS-dist
-    variant (shortest paths need diagonal staircase steps) — and for
-    small-diameter regimes."""
-    s_row = _pick_strip_rows(-(-w // 128) * 128)
+def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
+                     h, w, s_rows, t_steps):
+    """One pass over PADDED-resident fields with per-strip activity gating.
+
+    ro_pad/rw_pad: (hp + 2*t_steps, wp) arrays (pad once per fixpoint, not
+    per pass). act: (nstrips,) int32 — strips with act == 0 are skipped
+    entirely (no DMA, no compute); their rows survive because the rw
+    buffers are input/output aliased. The sequential grid makes active
+    strips read rows already written by lower strips this pass
+    (Gauss-Seidel order) — sound for these monotone fixpoints and
+    deterministic (fixed schedule). Returns (new rw_pad, per-strip changed
+    (nstrips,) int32)."""
+    wp = rw_pad[0].shape[1]
+    hp = rw_pad[0].shape[0] - 2 * t_steps
+    nstrips = hp // s_rows
+    slab = s_rows + 2 * t_steps
+    n_ro = len(ro_pad)
+    n_rw = len(rw_pad)
+
+    def kernel(act_ref, *refs):
+        in_refs = refs[:n_ro + n_rw]
+        out_refs = refs[n_ro + n_rw : n_ro + 2 * n_rw]
+        ch_ref = refs[n_ro + 2 * n_rw]
+        scratch = refs[n_ro + 2 * n_rw + 1 : -1]
+        sems = refs[-1]
+        i = pl.program_id(0)
+
+        @pl.when(act_ref[i] == 0)
+        def _():
+            ch_ref[i] = 0
+
+        @pl.when(act_ref[i] > 0)
+        def _():
+            cps = []
+            for j in range(n_ro + n_rw):
+                cp = pltpu.make_async_copy(
+                    in_refs[j].at[pl.ds(i * s_rows, slab), :], scratch[j],
+                    sems.at[j],
+                )
+                cp.start()
+                cps.append(cp)
+            for cp in cps:
+                cp.wait()
+
+            ro = [scratch[j][:] for j in range(n_ro)]
+            rw = [scratch[n_ro + j][:] for j in range(n_rw)]
+            pre = prepare_fn(ro, slab, wp)
+
+            def step(_, rw):
+                return step_fn(pre, list(rw), slab, wp)
+
+            rw = jax.lax.fori_loop(0, t_steps, step, tuple(rw))
+
+            rowg = (
+                jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 0)
+                + i * s_rows
+            )
+            colg = jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 1)
+            valid = (rowg < h) & (colg < w)
+            changed = jnp.int32(0)
+            ocps = []
+            for j in range(n_rw):
+                new = rw[j][t_steps : t_steps + s_rows, :]
+                diff = new != scratch[n_ro + j][
+                    t_steps : t_steps + s_rows, :
+                ]
+                changed = changed | jnp.max(
+                    (diff & valid).astype(jnp.int32)
+                )
+                scratch[n_ro + j][t_steps : t_steps + s_rows, :] = new
+                cp = pltpu.make_async_copy(
+                    scratch[n_ro + j].at[pl.ds(t_steps, s_rows), :],
+                    out_refs[j].at[pl.ds(t_steps + i * s_rows, s_rows), :],
+                    sems.at[n_ro + n_rw + j],
+                )
+                cp.start()
+                ocps.append(cp)
+            for cp in ocps:
+                cp.wait()
+            ch_ref[i] = changed
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nstrips,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_ro + n_rw),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_rw
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype) for x in rw_pad
+        ] + [jax.ShapeDtypeStruct((nstrips,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((slab, wp), x.dtype) for x in ro_pad + rw_pad
+        ] + [pltpu.SemaphoreType.DMA((n_ro + 2 * n_rw,))],
+        input_output_aliases={1 + n_ro + j: j for j in range(n_rw)},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(act, *ro_pad, *rw_pad)
+    return list(outs[:n_rw]), outs[n_rw]
+
+
+def _pad_field(x, fill, t_steps, hp, wp):
+    h, w = x.shape
+    return jnp.pad(
+        x, ((t_steps, hp - h + t_steps), (0, wp - w)), constant_values=fill
+    )
+
+
+def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
+                   t_steps=T):
+    """Step-only T-step passes with converged-strip skipping.
+
+    Fields stay padded and resident across the whole fixpoint; each pass
+    only recomputes strips whose slab range changed in the previous pass.
+    Most fixpoint work concentrates on a few active regions after the
+    first couple of passes, so steady-state pass cost scales with the
+    active area, not the image. Returns (rw, unconverged, passes)."""
+    s_rows = _pick_strip_rows(-(-w // 128) * 128)
+    wp = -(-w // 128) * 128
+    hp = -(-h // s_rows) * s_rows
+    nstrips = hp // s_rows
+    ro_pad = [_pad_field(x, f, t_steps, hp, wp) for x, f in ro_row]
+    rw_pad = [_pad_field(x, f, t_steps, hp, wp) for x, f in rw_fields]
     fills = [f for _, f in rw_fields]
 
     def cond(st):
-        return st[0] & (st[1] < max_passes)
+        act, it = st[0], st[1]
+        return (jnp.max(act) > 0) & (it < max_passes)
 
     def body(st):
-        _, it, rw = st
-        rw, ch = _strip_call(
-            prepare_fn, step_fn, None, ro_row,
-            list(zip(rw, fills)), h, w, s_row, T,
+        act, it, rw = st
+        rw, ch = _strip_call_skip(
+            prepare_fn, step_fn, ro_pad, list(rw), fills, act,
+            h, w, s_rows, t_steps,
         )
-        return ch, it + jnp.int32(1), tuple(rw)
+        up = jnp.concatenate([ch[1:], jnp.zeros((1,), jnp.int32)])
+        dn = jnp.concatenate([jnp.zeros((1,), jnp.int32), ch[:-1]])
+        return ch | up | dn, it + jnp.int32(1), tuple(rw)
 
-    st = (jnp.bool_(True), jnp.int32(0), tuple(x for x, _ in rw_fields))
+    st = (jnp.ones((nstrips,), jnp.int32), jnp.int32(0), tuple(rw_pad))
     st = jax.lax.while_loop(cond, body, st)
-    return list(st[2]), st[0], st[1]
+    out = [x[t_steps : t_steps + h, :w] for x in st[2]]
+    return out, jnp.max(st[0]) > 0, st[1]
 
 
 def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
@@ -282,19 +402,11 @@ def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
     s_col = _pick_strip_rows(-(-h // 128) * 128)
     fills = [f for _, f in rw_fields]
 
-    def cond1(st):
-        return st[0] & (st[1] < WARM_PASSES)
-
-    def body1(st):
-        _, it, rw = st
-        rw, ch = _strip_call(
-            prepare_fn, step_fn, None, ro_row,
-            list(zip(rw, fills)), h, w, s_row, T,
-        )
-        return ch, it + jnp.int32(1), tuple(rw)
-
-    st = (jnp.bool_(True), jnp.int32(0), tuple(x for x, _ in rw_fields))
-    st = jax.lax.while_loop(cond1, body1, st)
+    rw1, unconv1, p1 = _step_fixpoint(
+        prepare_fn, step_fn, ro_row, rw_fields, h, w,
+        min(max_passes, WARM_PASSES),
+    )
+    st = (unconv1, p1, tuple(rw1))
 
     def cond2(st):
         return st[0] & (st[1] < max_passes)
@@ -566,21 +678,12 @@ def value_flood(L, val, max_sweeps):
 
 def subtree_sums(pdir, s, max_sweeps):
     """Returns (sums, unconverged). Affine fixpoint (not idempotent): plain
-    step kernel, single orientation — converges in BFS-tree-depth steps."""
+    step passes, single orientation — converges in BFS-tree-depth steps
+    (skip-strips is sound here too: the fixpoint is unique by nilpotency
+    and an unchanged-input strip recomputes to the same values)."""
     h, w = pdir.shape
-    s_rows = _pick_strip_rows(-(-w // 128) * 128)
-
-    def cond(st):
-        return st[0] & (st[1] < -(-max_sweeps // T))
-
-    def body(st):
-        _, it, (sv,) = st
-        (sv,), changed = _strip_call(
-            _subsum_prepare, _subsum_step, None, [(pdir, 8)],
-            [(sv, 0)], h, w, s_rows, T,
-        )
-        return changed, it + jnp.int32(1), (sv,)
-
-    st = (jnp.bool_(True), jnp.int32(0), (s,))
-    st = jax.lax.while_loop(cond, body, st)
-    return st[2][0], st[0]
+    (sv,), unconv, _ = _step_fixpoint(
+        _subsum_prepare, _subsum_step, [(pdir, 8)], [(s, 0)], h, w,
+        -(-max_sweeps // T),
+    )
+    return sv, unconv

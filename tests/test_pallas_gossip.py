@@ -204,7 +204,7 @@ def test_value_flood_matches_xla_and_broadcasts(shape):
 
     ref_v, ref_unconv = turbo._value_flood(L, seed, ms)
     with pltpu.force_tpu_interpret_mode():
-        got_v, got_unconv = pg.value_flood(L, seed, ms)
+        got_v, got_unconv, _ = pg.value_flood(L, seed, ms)
     assert np.array_equal(np.asarray(ref_v), np.asarray(got_v))
     assert bool(ref_unconv) == bool(got_unconv)
     # every pixel got its root's value
