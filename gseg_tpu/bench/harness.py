@@ -98,7 +98,7 @@ def segment_fn(algorithm: str, cfg: SegmentationConfig, checked: bool = True):
             # gossip_rounds passed explicitly: a defaulted static arg is a
             # different jit cache key than an explicitly-passed equal value,
             # and the checked warmup call passes it explicitly.
-            return lambda img: segment_turbo_flagged(img, cfg, 4)[0]
+            return lambda img: segment_turbo_flagged(img, cfg, 2)[0]
         return lambda img: segment_turbo(img, cfg)
     if algorithm == "atomic":
         from ..models.atomic_boruvka import segment_atomic

@@ -25,7 +25,7 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--weight-buckets", type=int, default=0)
-    ap.add_argument("--gossip-rounds", type=int, default=4)
+    ap.add_argument("--gossip-rounds", type=int, default=2)
     ap.add_argument("--phases", default="prep,gossip,extract,s2,full")
     args = ap.parse_args()
 

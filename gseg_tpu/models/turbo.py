@@ -744,11 +744,6 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
         flags=jnp.int32(0),
     )
 
-    # quality mode merges cheapest edges first, which grows thin
-    # high-diameter components — gossip sweeps scale with diameter, so hand
-    # off to stage 2 much earlier there (at proportionally larger caps).
-    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 128
-
     def advance(s, s2):
         # quality mode: the cap advances one bucket per round; keep looping
         # while buckets remain even if this round merged nothing.
@@ -758,39 +753,59 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
             merged=s2.merged | more,
         )
 
-    # PEEL: the first two rounds run the subsum sizes scheme (cluster
-    # diameters are tiny, the convergecast is near-free), then the
-    # surviving roots become the compact root list and rounds 3+ run the
-    # diameter-independent dist-free scheme.
-    for peel_cap in (v // 2, v // 4):
-        gst = advance(gst, _ground(
-            gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
-            tau=thresholds[gst.bucket], sizes="count",
-            size_cap=max(peel_cap, 16384),
-        ))
-    rcap = max(v // 8, 16384)
-    rlist, rovf = _build_rlist(gst.L, rcap)
-    gst = gst._replace(
-        flags=gst.flags
-        | jnp.where(rovf, jnp.int32(FLAG_COMP_OVERFLOW), jnp.int32(0))
-    )
+    if cfg.weight_buckets > 0:
+        # QUALITY MODE: cheapest-first merging grows thin high-diameter
+        # components from round 1, so gossip uses the diameter-independent
+        # machinery: two peeled rounds with counting-scatter sizes, then
+        # dist-free floods (scan closures past WARM_PASSES) with root-list
+        # sizes, handing off early at v/32.
+        gate_c = v // 32
+        for peel_cap in (v // 2, v // 4):
+            gst = advance(gst, _ground(
+                gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
+                tau=thresholds[gst.bucket], sizes="count",
+                size_cap=max(peel_cap, 16384),
+            ))
+        rcap = max(v // 8, 16384)
+        rlist, rovf = _build_rlist(gst.L, rcap)
+        gst = gst._replace(
+            flags=gst.flags
+            | jnp.where(rovf, jnp.int32(FLAG_COMP_OVERFLOW), jnp.int32(0))
+        )
 
-    def gcond(c):
-        # run at least `gossip_rounds`, then keep gossiping until stage-2
-        # capacities are safe (measured: deduped pair count ~ 3.5x component
-        # count, so the gate keeps pairs under the pair capacity).
-        s = c[0]
+        def gcond(c):
+            s = c[0]
+            cnt = jnp.sum((s.L == vid).astype(jnp.int32))
+            return s.merged & ((s.it < gossip_rounds) | (cnt > gate_c))
+
+        def gbody(c):
+            s, rl = c
+            s2, rl2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size,
+                              "felz", max_sweeps, tau=thresholds[s.bucket],
+                              rlist=rl, sizes="rlist")
+            return advance(s, s2), rl2
+
+        gst, _ = jax.lax.while_loop(gcond, gbody, (gst, rlist))
+        return gst, weights, thresholds
+
+    # PLAIN MODE: component diameters grow ~geometrically per round, so the
+    # dist+subsum scheme (convergecast cost ~ diameter) is near-free for
+    # the first ~3 rounds and ruinous after — the gate hands off to stage 2
+    # while diameters are still ~8-16 px (C ~ V/40, resolution-independent
+    # pass counts), and stage-2 capacities below absorb the larger entry.
+    gate_c = v // 40
+
+    def gcond2(s):
         cnt = jnp.sum((s.L == vid).astype(jnp.int32))
         return s.merged & ((s.it < gossip_rounds) | (cnt > gate_c))
 
-    def gbody(c):
-        s, rl = c
-        s2, rl2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz",
-                          max_sweeps, tau=thresholds[s.bucket], rlist=rl,
-                          sizes="rlist")
-        return advance(s, s2), rl2
+    def gbody2(s):
+        return advance(s, _ground(
+            s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
+            tau=thresholds[s.bucket],
+        ))
 
-    gst, _ = jax.lax.while_loop(gcond, gbody, (gst, rlist))
+    gst = jax.lax.while_loop(gcond2, gbody2, gst)
     return gst, weights, thresholds
 
 
@@ -865,7 +880,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     h, w = gst.L.shape
     v = h * w
     # headroom for cross-chunk duplicate pairs (see _chunked_pair_extract).
-    pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 24, 16384)
+    pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 8, 16384)
     if _use_pallas():
         # ---- Pallas path: the boundary_extract kernel does the dense ->
         # sparse transition on the VPU (run-dedup + in-VMEM stream
@@ -875,9 +890,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
         # and therefore no cross-chunk duplicate headroom needed.
         from ..ops.pallas import extract as px
 
-        cap_live = max(
-            v // 2 if cfg.weight_buckets > 0 else v // 4, 1 << 16
-        )
+        cap_live = max(v // 2, 1 << 16)
         lo, hi, ew4, eid4, _, extract_ovf = px.boundary_extract(
             gst.L, weights, w, cap_live
         )
@@ -923,7 +936,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     # ---- initial-root list for the final map: every component with at
     # least one live edge (components without live edges can never merge in
     # stage 2, so identity entries in the final map are correct for them).
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 32, 16384)
     srt_src = jax.lax.sort((jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),))[0]
     rhead = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), srt_src[1:] != srt_src[:-1]]
@@ -949,7 +962,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
 def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
               nb: int) -> CompactState:
     """All stage-2 compact rounds: 2 warmup rounds, recompact, main phase."""
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 32, 16384)
     # NOTE: live head/pair counts do NOT shrink with felz convergence
     # (non-merging components keep live boundary edges and stay heads every
     # round), so the component capacity must hold the stage-entry bound
@@ -963,7 +976,7 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, warm_rounds,
                    thresholds, nb, with_minsize=False, flag_exhaustion=False)
     st, rec_ovf = _recompact_edges(
-        st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
+        st, max(v // 16 if cfg.weight_buckets > 0 else v // 16, 16384)
     )
     st = st._replace(
         flags=st.flags
@@ -998,7 +1011,7 @@ def _final_map(gst: GossipState, st: CompactState, rm, r0, max_sweeps):
 
 
 def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
-                       gossip_rounds: int = 4):
+                       gossip_rounds: int = 2):
     """(H, W, 3) -> (labels, flags): (H, W) int32 canonical (min-vertex-id)
     labels plus a () int32 FLAG_* bitmask — nonzero means a capacity or
     sweep-budget violation occurred and the labels must not be trusted
@@ -1151,7 +1164,7 @@ def _s2_phase_capture(st: CompactState, v, comp_cap, k, min_size, max_iters,
 
 
 def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
-                                 gossip_rounds: int = 4,
+                                 gossip_rounds: int = 2,
                                  n_levels: int | None = None):
     """(H, W, 3) -> (levels (n_levels+1, H, W), labels, flags).
 
@@ -1170,7 +1183,7 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
     g_count = jnp.minimum(gst.it, n_levels)
     st, rm, r0 = _extract_stage(gst, weights, cfg)
 
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 32, 16384)
     s2_iters = 2 * cfg.max_iters + nb
     fins0 = jnp.zeros((n_levels, st.fin.shape[0]), jnp.int32)
     warm_rounds = 2 if cfg.weight_buckets > 0 else 1
@@ -1179,7 +1192,7 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
         False, fins0, jnp.int32(0), flag_exhaustion=False,
     )
     st, rec_ovf = _recompact_edges(
-        st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
+        st, max(v // 16 if cfg.weight_buckets > 0 else v // 16, 16384)
     )
     st = st._replace(
         flags=st.flags
@@ -1243,7 +1256,7 @@ segment_turbo_hierarchy_flagged = jax.jit(
 
 
 def segment_turbo_hierarchy(image, cfg: SegmentationConfig,
-                            gossip_rounds: int = 4):
+                            gossip_rounds: int = 2):
     """Checked hierarchy entry: (H, W, 3) -> (levels (L+1, H, W), labels).
 
     Same flag semantics as segment_turbo (raise / fallback / ignore per
@@ -1280,7 +1293,7 @@ def describe_flags(flags: int) -> str:
 
 
 def segment_turbo(image: jnp.ndarray, cfg: SegmentationConfig,
-                  gossip_rounds: int = 4) -> jnp.ndarray:
+                  gossip_rounds: int = 2) -> jnp.ndarray:
     """Checked turbo entry: (H, W, 3) -> (H, W) int32 labels.
 
     Runs the jitted pipeline, then inspects the overflow/unconvergence flag

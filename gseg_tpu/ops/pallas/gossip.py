@@ -66,11 +66,16 @@ _BIT_L, _BIT_R, _BIT_U, _BIT_D = 4, 0, 5, 1
 
 
 def _pick_strip_rows(wp: int) -> int:
-    """Strip height given padded width: ~24 concurrently-live row-planes
-    (scratch slabs + bitmask + loop-carried fields + closure temporaries +
-    output blocks) must fit VMEM with slack."""
-    budget = 8 * 1024 * 1024
-    per_row = wp * 4 * 24
+    """Strip height given padded width: ~16 concurrently-live row-planes
+    (scratch slabs + bitmask + step temporaries + staging) must fit VMEM
+    with slack. Bigger strips matter doubly: less halo-recompute waste AND
+    fewer serialized per-strip DMA round trips per pass (at 4K the old
+    24-plane/8MB sizing gave 16-row strips — 50% halo, 135 strips)."""
+    # Mosaic's scoped-vmem limit is 16 MiB; ~20 row-planes are live in the
+    # worst kernel (4 slabs + step temporaries), measured from a compile
+    # OOM at 4K — 13 MiB / 20 planes keeps ~2.5 MiB slack.
+    budget = 13 * 1024 * 1024
+    per_row = wp * 4 * 20
     s = max(budget // per_row, 8)
     s = min(int(s) // 8 * 8, 256)
     return max(s, 8)
