@@ -788,12 +788,13 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
         gst, _ = jax.lax.while_loop(gcond, gbody, (gst, rlist))
         return gst, weights, thresholds
 
-    # PLAIN MODE: component diameters grow ~geometrically per round, so the
-    # dist+subsum scheme (convergecast cost ~ diameter) is near-free for
-    # the first ~3 rounds and ruinous after — the gate hands off to stage 2
-    # while diameters are still ~8-16 px (C ~ V/40, resolution-independent
-    # pass counts), and stage-2 capacities below absorb the larger entry.
-    gate_c = v // 40
+    # PLAIN MODE: dist+subsum rounds (convergecast cost ~ diameter) with
+    # converged-strip skipping. Diameters grow ~geometrically per round; an
+    # earlier V/40 handoff was measured and REJECTED: at that density the
+    # boundary-edge count is still ~V (sponge-shaped components), which
+    # pushes pixel-scale work into extraction and stage 2 — gossip round 4
+    # is cheaper than the stage-2 rounds it would replace.
+    gate_c = v // 128
 
     def gcond2(s):
         cnt = jnp.sum((s.L == vid).astype(jnp.int32))
@@ -880,7 +881,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     h, w = gst.L.shape
     v = h * w
     # headroom for cross-chunk duplicate pairs (see _chunked_pair_extract).
-    pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 8, 16384)
+    pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 24, 16384)
     if _use_pallas():
         # ---- Pallas path: the boundary_extract kernel does the dense ->
         # sparse transition on the VPU (run-dedup + in-VMEM stream
@@ -890,7 +891,9 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
         # and therefore no cross-chunk duplicate headroom needed.
         from ..ops.pallas import extract as px
 
-        cap_live = max(v // 2, 1 << 16)
+        cap_live = max(
+            v // 2 if cfg.weight_buckets > 0 else v // 4, 1 << 16
+        )
         lo, hi, ew4, eid4, _, extract_ovf = px.boundary_extract(
             gst.L, weights, w, cap_live
         )
@@ -936,7 +939,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     # ---- initial-root list for the final map: every component with at
     # least one live edge (components without live edges can never merge in
     # stage 2, so identity entries in the final map are correct for them).
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 32, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
     srt_src = jax.lax.sort((jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),))[0]
     rhead = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), srt_src[1:] != srt_src[:-1]]
@@ -962,7 +965,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
 def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
               nb: int) -> CompactState:
     """All stage-2 compact rounds: 2 warmup rounds, recompact, main phase."""
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 32, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
     # NOTE: live head/pair counts do NOT shrink with felz convergence
     # (non-merging components keep live boundary edges and stay heads every
     # round), so the component capacity must hold the stage-entry bound
@@ -976,7 +979,7 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, warm_rounds,
                    thresholds, nb, with_minsize=False, flag_exhaustion=False)
     st, rec_ovf = _recompact_edges(
-        st, max(v // 16 if cfg.weight_buckets > 0 else v // 16, 16384)
+        st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
     )
     st = st._replace(
         flags=st.flags
@@ -1183,7 +1186,7 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
     g_count = jnp.minimum(gst.it, n_levels)
     st, rm, r0 = _extract_stage(gst, weights, cfg)
 
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 32, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
     s2_iters = 2 * cfg.max_iters + nb
     fins0 = jnp.zeros((n_levels, st.fin.shape[0]), jnp.int32)
     warm_rounds = 2 if cfg.weight_buckets > 0 else 1
@@ -1192,7 +1195,7 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
         False, fins0, jnp.int32(0), flag_exhaustion=False,
     )
     st, rec_ovf = _recompact_edges(
-        st, max(v // 16 if cfg.weight_buckets > 0 else v // 16, 16384)
+        st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
     )
     st = st._replace(
         flags=st.flags

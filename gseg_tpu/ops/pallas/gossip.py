@@ -71,11 +71,11 @@ def _pick_strip_rows(wp: int) -> int:
     with slack. Bigger strips matter doubly: less halo-recompute waste AND
     fewer serialized per-strip DMA round trips per pass (at 4K the old
     24-plane/8MB sizing gave 16-row strips — 50% halo, 135 strips)."""
-    # Mosaic's scoped-vmem limit is 16 MiB; ~20 row-planes are live in the
-    # worst kernel (4 slabs + step temporaries), measured from a compile
-    # OOM at 4K — 13 MiB / 20 planes keeps ~2.5 MiB slack.
-    budget = 13 * 1024 * 1024
-    per_row = wp * 4 * 20
+    # Mosaic's scoped-vmem limit is 16 MiB; the worst kernel (label+dist:
+    # 4 slabs + step temporaries) measured 19.4 slab-plane equivalents at a
+    # 4K compile OOM, so budget/per_row are sized for ~24 planes of slack.
+    budget = 12 * 1024 * 1024
+    per_row = wp * 4 * 24
     s = max(budget // per_row, 8)
     s = min(int(s) // 8 * 8, 256)
     return max(s, 8)
