@@ -66,19 +66,18 @@ _BIT_L, _BIT_R, _BIT_U, _BIT_D = 4, 0, 5, 1
 
 
 def _pick_strip_rows(wp: int) -> int:
-    """Strip height given padded width: ~16 concurrently-live row-planes
-    (scratch slabs + bitmask + step temporaries + staging) must fit VMEM
-    with slack. Bigger strips matter doubly: less halo-recompute waste AND
-    fewer serialized per-strip DMA round trips per pass (at 4K the old
-    24-plane/8MB sizing gave 16-row strips — 50% halo, 135 strips)."""
-    # Mosaic's scoped-vmem limit is 16 MiB; the worst kernel (label+dist:
-    # 4 slabs + step temporaries) measured 19.4 slab-plane equivalents at a
-    # 4K compile OOM, so budget/per_row are sized for ~24 planes of slack.
-    budget = 12 * 1024 * 1024
-    per_row = wp * 4 * 24
-    s = max(budget // per_row, 8)
-    s = min(int(s) // 8 * 8, 256)
-    return max(s, 8)
+    """Strip height given padded width, sized against Mosaic's 16 MiB
+    scoped-vmem limit: the worst kernel (label+dist flood) keeps ~20
+    SLAB-height (s_rows + 2T) row-planes live (4 scratch slabs + step
+    temporaries + staging; 19.4 measured from a 4K compile OOM), so solve
+    planes * (s + 2T) * wp * 4 <= budget for s. Bigger strips matter
+    doubly: less halo-recompute waste AND fewer serialized per-strip DMA
+    round trips per pass."""
+    budget = 15 * 1024 * 1024
+    planes = 20
+    s = budget // (planes * wp * 4) - 2 * T
+    s = min(max(int(s) // 8 * 8, 8), 256)
+    return s
 
 
 def _nbr(x, dy, dx, rows, wp):

@@ -35,14 +35,17 @@ from gseg_tpu.bench import harness
 from gseg_tpu.bench import plots
 from gseg_tpu.config import SegmentationConfig
 
-# (algorithm, rung ceiling index into RESOLUTION_LADDER, extra cfg kwargs)
+# (algorithm, rung indices into RESOLUTION_LADDER, extra cfg kwargs).
+# Rung ceilings bound the compile budget: the 8K rung is turbo-only (the
+# no-2^26-px-cap demonstration); atomic is scatter-bound; hostsync pays
+# ~30 ms/round through the tunnel.
 LADDERS = [
-    ("turbo", 7, {}),
-    ("turbo_wb16", 5, {"weight_buckets": 16}),
-    ("fastmst", 5, {}),
-    ("superpixel", 5, {}),
-    ("atomic", 3, {}),
-    ("atomic_hostsync", 1, {}),
+    ("turbo", [0, 1, 2, 3, 4, 5, 6], {}),
+    ("turbo_wb16", [0, 2, 4], {"weight_buckets": 16}),
+    ("fastmst", [0, 1, 2, 4], {}),
+    ("superpixel", [0, 1, 2, 4], {}),
+    ("atomic", [0, 1, 2], {}),
+    ("atomic_hostsync", [0], {}),
 ]
 
 QUALITY_ALGOS = [
@@ -63,9 +66,9 @@ def base_algo(name: str) -> str:
 def section_perf(out_dir: str) -> list:
     rows = []
     path = os.path.join(out_dir, "perf.jsonl")
-    for name, ceil_idx, extra in LADDERS:
+    for name, rungs, extra in LADDERS:
         cfg = SegmentationConfig(k=300.0, min_size=100, **extra)
-        resolutions = harness.RESOLUTION_LADDER[:ceil_idx]
+        resolutions = [harness.RESOLUTION_LADDER[i] for i in rungs]
         t0 = time.time()
         print(f"[perf] {name}: {len(resolutions)} rungs", flush=True)
         try:
