@@ -891,9 +891,10 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
         # and therefore no cross-chunk duplicate headroom needed.
         from ..ops.pallas import extract as px
 
-        cap_live = max(
-            v // 2 if cfg.weight_buckets > 0 else v // 4, 1 << 16
-        )
+        # measured: noise-merged components are sponge-shaped — boundary
+        # run candidates stay ~V/3 even at C ~ V/500, so the pool needs
+        # V/2 at any gate.
+        cap_live = max(v // 2, 1 << 16)
         lo, hi, ew4, eid4, _, extract_ovf = px.boundary_extract(
             gst.L, weights, w, cap_live
         )
