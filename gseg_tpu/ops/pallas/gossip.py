@@ -238,11 +238,13 @@ def _strip_call(prepare_fn, step_fn, closure_fn, ro_fields, rw_fields, h, w,
 
 # Step-only passes before the scan-closure machinery engages. Measured on
 # v5e: a step pass costs ~1 ms @1080p while a closure pass-pair costs
-# ~15-20 ms (closure stages are serially-dependent multi-vreg lane rolls,
-# ~1-6 us each with no ILP), so closures only pay off past ~128 sweeps —
-# extreme-diameter components (quality-mode thin shapes, pathological
-# inputs) where step passes would need hundreds of HBM passes.
-WARM_PASSES = 16
+# ~15-20 ms @1080p (closure stages are serially-dependent multi-vreg lane
+# rolls, ~1-6 us each with no ILP), so closures only pay off past ~512
+# sweeps — extreme-diameter components (quality-mode thin shapes,
+# pathological inputs) where step passes would need hundreds of HBM
+# passes. 16 was measured too low: 4K late-round floods legitimately need
+# ~20-30 passes and fell off the closure cliff (gossip 1.78 s vs step-only).
+WARM_PASSES = 64
 
 
 def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
