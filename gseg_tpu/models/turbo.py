@@ -766,7 +766,10 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
                 tau=thresholds[gst.bucket], sizes="count",
                 size_cap=max(peel_cap, 16384),
             ))
-        rcap = max(v // 8, 16384)
+        # the bucket ramp merges slowly by design: after two rounds the
+        # component count can still be ~V/3, so the root list needs
+        # pixel-scale capacity (the slow-but-exact path).
+        rcap = max(v // 2, 16384)
         rlist, rovf = _build_rlist(gst.L, rcap)
         gst = gst._replace(
             flags=gst.flags
@@ -1093,7 +1096,7 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
             size_cap=max(peel_cap, 16384),
         ))
         levels = levels.at[jnp.minimum(it0, n_levels - 1)].set(gst.L)
-    rcap = max(v // 8, 16384)
+    rcap = max(v // 2, 16384)
     rlist, rovf = _build_rlist(gst.L, rcap)
     gst = gst._replace(
         flags=gst.flags

@@ -479,8 +479,11 @@ def _pick_srows(wp: int) -> int:
     budget ~10 MB."""
     budget = 10 * 1024 * 1024
     per_row = wp * 4 * 4 * 20
-    s = max(budget // per_row, 4)
-    return min(max(int(s) // 4 * 4, 4), 64)
+    s = max(budget // per_row, 8)
+    # multiples of 8: Mosaic requires 8-aligned sublane slice shapes, and
+    # the slab slice is s_rows + 8 (12-row strips at w=2560 produced a
+    # 20-row slice and a compile error).
+    return min(max(int(s) // 8 * 8, 8), 64)
 
 
 @functools.partial(jax.jit, static_argnames=("w_true", "cap"))

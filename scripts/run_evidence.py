@@ -71,22 +71,27 @@ def section_perf(out_dir: str) -> list:
         resolutions = [harness.RESOLUTION_LADDER[i] for i in rungs]
         t0 = time.time()
         print(f"[perf] {name}: {len(resolutions)} rungs", flush=True)
-        try:
-            rs = harness.run_performance_ladder(
-                algorithms=[base_algo(name)], resolutions=resolutions,
-                reps=5, cfg=cfg,
-            )
-        except Exception as e:  # keep the campaign going; record the miss
-            print(f"[perf] {name} FAILED: {e}", flush=True)
-            rows.append({"algorithm": name, "error": str(e)})
-            continue
-        for r in rs:
-            r["algorithm"] = name
-        rows.extend(rs)
+        for res in resolutions:  # per-rung isolation: one bad compile
+            try:                 # must not lose the rest of the ladder
+                rs = harness.run_performance_ladder(
+                    algorithms=[base_algo(name)], resolutions=[res],
+                    reps=5, cfg=cfg,
+                )
+            except Exception as e:
+                msg = str(e).splitlines()[0][:300]
+                print(f"[perf] {name}@{res} FAILED: {msg}", flush=True)
+                rows.append({"algorithm": name, "height": res[0],
+                             "width": res[1], "error": msg})
+                continue
+            for r in rs:
+                r["algorithm"] = name
+            rows.extend(rs)
+            print(f"[perf] {name}@{res} ok "
+                  f"({rs[0]['total']['mean_s']*1e3:.1f} ms)", flush=True)
+            with open(path, "w") as f:  # checkpoint after every rung
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
         print(f"[perf] {name} done in {time.time()-t0:.0f}s", flush=True)
-        with open(path, "w") as f:  # checkpoint after every ladder
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
     return rows
 
 
