@@ -40,7 +40,7 @@ from gseg_tpu.config import SegmentationConfig
 # no-2^26-px-cap demonstration); atomic is scatter-bound; hostsync pays
 # ~30 ms/round through the tunnel.
 LADDERS = [
-    ("turbo", [0, 1, 2, 3, 4, 5, 6], {}),
+    ("turbo", [0, 1, 2, 3, 4, 5], {}),  # 8K attempted separately: the host OOMs compiling it mid-campaign
     ("turbo_wb16", [0, 2, 4], {"weight_buckets": 16}),
     ("fastmst", [0, 1, 2, 4], {}),
     ("superpixel", [0, 1, 2, 4], {}),
@@ -64,14 +64,18 @@ def base_algo(name: str) -> str:
 
 
 def section_perf(out_dir: str) -> list:
-    rows = []
     path = os.path.join(out_dir, "perf.jsonl")
+    rows = _load(path)  # resume: keep rungs measured by a prior run
+    done = {(r.get("algorithm"), r.get("height"), r.get("width"))
+            for r in rows if "error" not in r}
     for name, rungs, extra in LADDERS:
         cfg = SegmentationConfig(k=300.0, min_size=100, **extra)
         resolutions = [harness.RESOLUTION_LADDER[i] for i in rungs]
         t0 = time.time()
         print(f"[perf] {name}: {len(resolutions)} rungs", flush=True)
         for res in resolutions:  # per-rung isolation: one bad compile
+            if (name, res[0], res[1]) in done:
+                continue
             try:                 # must not lose the rest of the ladder
                 rs = harness.run_performance_ladder(
                     algorithms=[base_algo(name)], resolutions=[res],
