@@ -134,8 +134,8 @@ def main():
     sections = args.sections.split(",")
 
     perf_path = os.path.join(args.out, "perf.jsonl")
-    if "perf" in sections and (args.force or not _done(perf_path)):
-        section_perf(args.out)
+    if "perf" in sections:
+        section_perf(args.out)  # self-resumes: completed rungs are skipped
 
     fig3_path = os.path.join(args.out, "fig3.jsonl")
     if "fig3" in sections and (args.force or not _done(fig3_path)):
