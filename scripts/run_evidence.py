@@ -41,11 +41,13 @@ from gseg_tpu.config import SegmentationConfig
 # ~30 ms/round through the tunnel.
 LADDERS = [
     ("turbo", [0, 1, 2, 3, 4, 5], {}),  # 8K attempted separately: the host OOMs compiling it mid-campaign
-    ("turbo_wb16", [0, 2, 4], {"weight_buckets": 16}),
     ("fastmst", [0, 1, 2, 4], {}),
     ("superpixel", [0, 1, 2, 4], {}),
     ("atomic", [0, 1, 2], {}),
     ("atomic_hostsync", [0], {}),
+    # LAST: quality-mode programs compile for ~1 h each (both sizes-scheme
+    # branches + 16-bucket machinery) — must not starve the cheap ladders.
+    ("turbo_wb16", [0, 2], {"weight_buckets": 16}),
 ]
 
 QUALITY_ALGOS = [
