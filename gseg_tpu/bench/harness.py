@@ -179,7 +179,24 @@ def run_performance_ladder(
                 _fence(segment_fn(algo, cfg, checked=True)(img))
             fn = segment_fn(algo, cfg, checked=False)
             total = _timed(lambda: fn(img), reps)
+            # Re-fetch the flags AFTER the timed reps (same input + config
+            # => deterministic flags; one extra run) so a capacity overflow
+            # can never hide inside a headline number.
+            flags_val = 0
+            if algo == "turbo":
+                from ..models.turbo import segment_turbo_flagged
+
+                flags_val = int(segment_turbo_flagged(img, cfg, 2)[1])
+            elif algo == "fastmst":
+                from ..models.fastmst import segment_fastmst_flagged
+
+                flags_val = int(segment_fastmst_flagged(img, cfg)[1])
+            elif algo == "superpixel":
+                from ..models.superpixel import segment_superpixel_flagged
+
+                flags_val = int(segment_superpixel_flagged(img, cfg)[1])
             row = {
+                "flags": flags_val,
                 "algorithm": algo,
                 "height": h,
                 "width": w,

@@ -227,11 +227,14 @@ def segment_fastmst(image: jnp.ndarray, cfg: SegmentationConfig):
 def segment_fastmst_hierarchy_impl(image: jnp.ndarray,
                                    cfg: SegmentationConfig,
                                    n_levels: int | None = None):
-    """Hierarchy mode: (levels (n_levels+1, H, W), labels, flags).
+    """Hierarchy mode: (levels (n_levels+2, H, W), labels, flags).
 
-    Level 0 = singletons, level 1 = the dense round, levels 2+ = compact
-    rounds rendered through the round-1 value flood (reference Fast
-    Hierarchy Creation input, Report.pdf p.4 §3.2.3)."""
+    Level 0 = singletons, level 1 = the dense round, levels 2..n_levels+1
+    = compact rounds rendered through the round-1 value flood (reference
+    Fast Hierarchy Creation input, Report.pdf p.4 §3.2.3). Note the shape
+    differs from turbo/superpixel hierarchies (max_iters+1 planes): the
+    fastmst path captures the dense round as its own plane in addition to
+    the singleton level, mirroring its two-phase schedule."""
     h, w = image.shape[0], image.shape[1]
     v = h * w
     if n_levels is None:

@@ -21,11 +21,12 @@ Architecture (SURVEY.md §7 "hard parts" resolved TPU-first):
       over same-component + passing-hook adjacency, with Int(C) riding as
       a max,
     - |C|: exact counting, diameter-independent — the first two (peeled)
-      rounds count row runs (ops/pallas/extract.py run_extract + a
-      pool-sized sum-by-label), later rounds group the compact old-root
-      list by new label (`_rlist_sizes`; a new component is a disjoint
-      union of old ones). The spatial comm path keeps the BFS-dist
-      convergecast instead (works under halo exchange).
+      rounds use one flat counting scatter-add keyed by label
+      (`_component_sizes`; at ~V/4 components any pool representation is
+      pixel-scale anyway), later rounds group the compact old-root list
+      by new label (`_rlist_sizes`; a new component is a disjoint union
+      of old ones). The spatial comm path keeps the BFS-dist convergecast
+      instead (works under halo exchange).
   No V-sized gathers or scatters anywhere. The number of components drops
   ~4x per round (measured), so the compact pools shrink as stage G runs.
 
@@ -302,7 +303,7 @@ def _rlist_sizes(rlist, Lnew, S_old):
     return _sum_by_label(Lr, Sr, h, w)
 
 
-def _component_sizes(L, cap: int):
+def _component_sizes(L):
     """Exact per-component pixel counts for the peel rounds: one flat
     counting scatter-add keyed by label (~7 ns/pixel on v5e, diameter-
     independent, no capacity). The peel states have ~V/4 components, where
@@ -385,14 +386,13 @@ def _subtree_sizes(L, dist, max_sweeps, comm=_DENSE_COMM):
 
 
 def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
-            tau=jnp.inf, comm=_DENSE_COMM, rlist=None, sizes="subsum",
-            size_cap=0):
+            tau=jnp.inf, comm=_DENSE_COMM, rlist=None, sizes="subsum"):
     """One gossip Boruvka round. Sizes schemes:
 
     - sizes="subsum" (spatial comm mode): BFS-dist rides the flood, sizes
       via the parent-tree convergecast — works under halo exchange.
     - sizes="count" (dense peel rounds): dist-free flood; exact sizes by
-      row-run counting (`_component_sizes`, capacity `size_cap`).
+      a flat counting scatter-add (`_component_sizes`, capacity-free).
     - sizes="rlist" (dense rounds 3+): dist-free flood; sizes by grouping
       the compact old-root list (`rlist`) — returns (state, new rlist).
     """
@@ -461,7 +461,7 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
             Snew, rlist_new = _rlist_sizes(rlist, Lnew, S)
             size_ovf = jnp.bool_(False)
         else:
-            Snew, size_ovf = _component_sizes(Lnew, size_cap)
+            Snew, size_ovf = _component_sizes(Lnew)
             rlist_new = None
         flags = state.flags | jnp.where(
             unconv, jnp.int32(FLAG_GOSSIP_UNCONVERGED), jnp.int32(0)
@@ -760,11 +760,10 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
         # dist-free floods (scan closures past WARM_PASSES) with root-list
         # sizes, handing off early at v/32.
         gate_c = v // 32
-        for peel_cap in (v // 2, v // 4):
+        for _peel in range(2):
             gst = advance(gst, _ground(
                 gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
                 tau=thresholds[gst.bucket], sizes="count",
-                size_cap=max(peel_cap, 16384),
             ))
         # the bucket ramp merges slowly by design: after two rounds the
         # component count can still be ~V/3, so the root list needs
@@ -1087,13 +1086,12 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
             merged=s2.merged | more,
         )
 
-    # peel the first two rounds (subsum sizes; see _stage_g).
-    for peel_cap in (v // 2, v // 4):
+    # peel the first two rounds (counting-scatter sizes; see _stage_g).
+    for _peel in range(2):
         it0 = gst.it
         gst = advance(gst, _ground(
             gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
             tau=thresholds[gst.bucket], sizes="count",
-            size_cap=max(peel_cap, 16384),
         ))
         levels = levels.at[jnp.minimum(it0, n_levels - 1)].set(gst.L)
     rcap = max(v // 2, 16384)

@@ -245,7 +245,14 @@ def _runs_kernel(L_ref, lab_ref, cnt_ref, meta_ref, off_sm, sems, *,
 
         off = off_sm[0]
         used_rows = _cdiv_t(total)
-        out_over = off + used_rows > cap_rows
+        # Overflow is flagged at WINDOW granularity: the windowed DMAs
+        # cover off .. off + ceil(used/win)*win, and the offset clip below
+        # would silently slide a final window down over already-written
+        # rows if that extent exceeds capacity (even when off + used_rows
+        # itself still fits). Flagged results are invalid, so the clip
+        # (which only exists to keep the DMA in bounds) is then harmless.
+        win_extent = _cdiv(used_rows, win_rows) * win_rows
+        out_over = off + win_extent > cap_rows
         for j in range(n_win):
             @pl.when(j * win_rows < used_rows)
             def _(j=j):
@@ -425,7 +432,11 @@ def _extract_kernel(L_ref, w_ref, lo_ref, hi_ref, wout_ref, eid_ref,
 
         off = off_sm[0]
         used_rows = _cdiv_t(total)
-        out_over = off + used_rows > cap_rows
+        # Window-granular overflow flag — see _runs_kernel: the offset clip
+        # below must never bite on an unflagged result, or a final window
+        # would silently overwrite live rows below it.
+        win_extent = _cdiv(used_rows, win_rows) * win_rows
+        out_over = off + win_extent > cap_rows
         for j in range(n_win):  # static unroll; dynamic skip per window
             @pl.when(j * win_rows < used_rows)
             def _(j=j):

@@ -66,17 +66,54 @@ _BIT_L, _BIT_R, _BIT_U, _BIT_D = 4, 0, 5, 1
 
 
 def _pick_strip_rows(wp: int) -> int:
-    """Strip height given padded width, sized against Mosaic's 16 MiB
-    scoped-vmem limit: the worst kernel (label+dist flood) keeps ~20
-    SLAB-height (s_rows + 2T) row-planes live (4 scratch slabs + step
-    temporaries + staging; 19.4 measured from a 4K compile OOM), so solve
-    planes * (s + 2T) * wp * 4 <= budget for s. Bigger strips matter
-    doubly: less halo-recompute waste AND fewer serialized per-strip DMA
-    round trips per pass."""
+    """Strip height for the CLOSURE kernels (_strip_call), sized against
+    Mosaic's default 16 MiB scoped-vmem limit: the worst kernel (label+dist
+    flood) keeps ~20 SLAB-height (s_rows + 2T) row-planes live (4 scratch
+    slabs + step temporaries + staging; 19.4 measured from a 4K compile
+    OOM), so solve planes * (s + 2T) * wp * 4 <= budget for s."""
     budget = 15 * 1024 * 1024
     planes = 20
     s = budget // (planes * wp * 4) - 2 * T
     s = min(max(int(s) // 8 * 8, 8), 256)
+    return s
+
+
+# The skip kernel raises the Mosaic scoped-VMEM limit well past the 16 MiB
+# default (v5e has 128 MiB physical): fat strips cut the per-pass strip
+# count (fewer serialized DMA round trips) AND the halo-recompute fraction
+# (2T/slab). Budget covers the multi-buffered slabs + ~16 slab-height
+# step-temporary planes (measured: 20 total at 4 single-buffered slabs).
+SKIP_VMEM_BUDGET = 72 * 1024 * 1024
+SKIP_VMEM_LIMIT = 110 * 1024 * 1024
+TEMP_PLANES = 16
+
+
+# Strip heights below 72 rows deterministically hang the pipelined skip
+# kernel on real v5e hardware (s=48 and s=56 reproduce inside _stage_g at
+# 1080p; s>=72 never has). The DMA/semaphore schedule balances on paper at
+# any height, so this is treated as a timing-exposed Mosaic-level hazard
+# and floored empirically. With the floor, the VMEM budget only drops s
+# below 72 for padded widths > ~7680 (beyond the 8K ladder rung).
+SKIP_MIN_ROWS = 72
+
+
+def _pick_skip_rows(wp: int, h: int, n_ro: int, n_rw: int,
+                    t_steps: int) -> int:
+    """Strip height for the prefetch-pipelined skip kernel: ro slabs are
+    double-buffered, rw slabs triple-buffered (see _strip_call_skip).
+    Capped at ~h/13 (floor-8) so converged-strip skipping keeps useful
+    granularity (steady-state pass cost scales with the ACTIVE area) and
+    the height pad stays small — measured @1080p: s=80 beats both s=72
+    and s=96. The VMEM bound only binds at large widths."""
+    import os
+
+    ov = os.environ.get("GSEG_SKIP_ROWS")
+    if ov:
+        return max(int(ov) // 8 * 8, 8)
+    planes = 2 * n_ro + 3 * n_rw + TEMP_PLANES
+    s = SKIP_VMEM_BUDGET // (planes * wp * 4) - 2 * t_steps
+    cap = max(h // 13 // 8 * 8, SKIP_MIN_ROWS)
+    s = min(max(int(s) // 8 * 8, SKIP_MIN_ROWS), cap, 512)
     return s
 
 
@@ -249,30 +286,90 @@ WARM_PASSES = 64
 
 def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
                      h, w, s_rows, t_steps):
-    """One pass over PADDED-resident fields with per-strip activity gating.
+    """One prefetch-pipelined pass over PADDED-resident fields with
+    per-strip activity gating.
 
     ro_pad/rw_pad: (hp + 2*t_steps, wp) arrays (pad once per fixpoint, not
     per pass). act: (nstrips,) int32 — strips with act == 0 are skipped
     entirely (no DMA, no compute); their rows survive because the rw
-    buffers are input/output aliased. The sequential grid makes active
-    strips read rows already written by lower strips this pass
-    (Gauss-Seidel order) — sound for these monotone fixpoints and
-    deterministic (fixed schedule). Returns (new rw_pad, per-strip changed
-    (nstrips,) int32)."""
+    buffers are input/output aliased.
+
+    Pipeline: each active strip, after waiting its own (long-prefetched)
+    input slab, immediately starts the NEXT active strip's input DMA into
+    a rotated buffer slot, so the HBM traffic rides under its own compute.
+    ro slabs rotate over 2 slots; rw slabs over 3 (slot o+1 receives the
+    prefetch while slot o-1's output DMA — waited only two strips later —
+    may still be draining). Output DMAs are never waited on the issuing
+    strip; the last active strip drains everything before kernel exit.
+
+    Halo freshness: the next strip's TOP halo overlaps this strip's just-
+    computed interior when adjacent, so the prefetch DMA covers only slab
+    rows [t, slab) and the top t rows are either patched VMEM->VMEM from
+    the freshly computed rows (adjacent case — Gauss-Seidel downward) or
+    DMA'd separately from HBM (gap case; those rows belong to an inactive,
+    therefore unchanged, strip). This keeps every HBM read disjoint from
+    every in-flight HBM write, so the pass is deterministic. Upward
+    propagation sees previous-pass bottom halos (Jacobi) — sound for
+    monotone and nilpotent-affine fixpoints alike: the while_loop only
+    exits on a full no-change pass, which then certifies the one-step
+    fixpoint exactly as before.
+
+    Returns (new rw_pad, per-strip changed (nstrips,) int32)."""
     wp = rw_pad[0].shape[1]
     hp = rw_pad[0].shape[0] - 2 * t_steps
     nstrips = hp // s_rows
     slab = s_rows + 2 * t_steps
     n_ro = len(ro_pad)
     n_rw = len(rw_pad)
+    nf = n_ro + n_rw
+    t = t_steps
 
-    def kernel(act_ref, *refs):
-        in_refs = refs[:n_ro + n_rw]
-        out_refs = refs[n_ro + n_rw : n_ro + 2 * n_rw]
-        ch_ref = refs[n_ro + 2 * n_rw]
-        scratch = refs[n_ro + 2 * n_rw + 1 : -1]
-        sems = refs[-1]
+    # Activity schedule: ordinal among active strips, previous / previous-
+    # previous / next active strip index per strip (tiny (nstrips,) scans).
+    ia = jnp.arange(nstrips, dtype=jnp.int32)
+    a = (act > 0).astype(jnp.int32)
+    ord_ = jnp.cumsum(a) - a
+    pidx = jnp.where(a > 0, ia, -1)
+    prv = jax.lax.associative_scan(jnp.maximum, pidx)
+    prv = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prv[:-1]])
+    nidx = jnp.where(a > 0, ia, nstrips)
+    nxt = jax.lax.associative_scan(jnp.minimum, nidx, reverse=True)
+    nxt = jnp.concatenate([nxt[1:], jnp.full((1,), nstrips, jnp.int32)])
+    prv2 = jnp.where(prv >= 0, prv[jnp.maximum(prv, 0)], -1)
+
+    def slot_of(o, j):
+        return o % 2 if j < n_ro else o % 3
+
+    def kernel(act_ref, ord_ref, prv_ref, prv2_ref, nxt_ref, *refs):
+        in_refs = refs[:nf]
+        out_refs = refs[nf : nf + n_rw]
+        ch_ref = refs[nf + n_rw]
+        scratch = refs[nf + n_rw + 1 : nf + n_rw + 1 + nf]
+        body_sems = refs[nf + n_rw + 1 + nf]
+        halo_sems = refs[nf + n_rw + 2 + nf]
+        out_sems = refs[nf + n_rw + 3 + nf]
         i = pl.program_id(0)
+
+        def body_dma(strip, j, slot):
+            return pltpu.make_async_copy(
+                in_refs[j].at[pl.ds(strip * s_rows + t, slab - t), :],
+                scratch[j].at[slot, pl.ds(t, slab - t), :],
+                body_sems.at[slot, j],
+            )
+
+        def halo_dma(strip, j, slot):
+            return pltpu.make_async_copy(
+                in_refs[j].at[pl.ds(strip * s_rows, t), :],
+                scratch[j].at[slot, pl.ds(0, t), :],
+                halo_sems.at[slot, j],
+            )
+
+        def out_dma(strip, j, slot):
+            return pltpu.make_async_copy(
+                scratch[n_ro + j].at[slot, pl.ds(t, s_rows), :],
+                out_refs[j].at[pl.ds(t + strip * s_rows, s_rows), :],
+                out_sems.at[slot, j],
+            )
 
         @pl.when(act_ref[i] == 0)
         def _():
@@ -280,19 +377,53 @@ def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
 
         @pl.when(act_ref[i] > 0)
         def _():
-            cps = []
-            for j in range(n_ro + n_rw):
-                cp = pltpu.make_async_copy(
-                    in_refs[j].at[pl.ds(i * s_rows, slab), :], scratch[j],
-                    sems.at[j],
-                )
-                cp.start()
-                cps.append(cp)
-            for cp in cps:
-                cp.wait()
+            o = ord_ref[i]
+            p1 = prv_ref[i]
+            pp = prv2_ref[i]
+            n1 = nxt_ref[i]
+            first = p1 < 0
 
-            ro = [scratch[j][:] for j in range(n_ro)]
-            rw = [scratch[n_ro + j][:] for j in range(n_rw)]
+            # 1. first active strip: nobody prefetched for us — self-start.
+            @pl.when(first)
+            def _():
+                for j in range(nf):
+                    body_dma(i, j, slot_of(o, j)).start()
+                    halo_dma(i, j, slot_of(o, j)).start()
+
+            # 2. wait own input slab. rw halos were VMEM-patched (no DMA)
+            # iff an adjacent active predecessor prefetched us.
+            for j in range(nf):
+                body_dma(i, j, slot_of(o, j)).wait()
+            for j in range(n_ro):
+                halo_dma(i, j, slot_of(o, j)).wait()
+            for j in range(n_ro, nf):
+                @pl.when(first | (p1 != i - 1))
+                def _(j=j):
+                    halo_dma(i, j, slot_of(o, j)).wait()
+
+            # 3. prefetch the next active strip before computing.
+            @pl.when(n1 < nstrips)
+            def _():
+                # rw target slot (o+1)%3 still has ordinal o-2's out-DMA.
+                @pl.when(pp >= 0)
+                def _():
+                    for j in range(n_rw):
+                        out_dma(pp, j, (o + 1) % 3).wait()
+                for j in range(nf):
+                    body_dma(n1, j, slot_of(o + 1, j)).start()
+                for j in range(n_ro):
+                    halo_dma(n1, j, slot_of(o + 1, j)).start()
+                # adjacent rw halos come from this strip's fresh interior
+                # (VMEM patch in the epilogue), never from HBM.
+                @pl.when(n1 > i + 1)
+                def _():
+                    for j in range(n_ro, nf):
+                        halo_dma(n1, j, slot_of(o + 1, j)).start()
+
+            # 4. compute t in-VMEM steps on this slot.
+            ro = [scratch[j][slot_of(o, j)] for j in range(n_ro)]
+            rw = [scratch[n_ro + j][slot_of(o, n_ro + j)]
+                  for j in range(n_rw)]
             pre = prepare_fn(ro, slab, wp)
 
             def step(_, rw):
@@ -300,6 +431,8 @@ def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
 
             rw = jax.lax.fori_loop(0, t_steps, step, tuple(rw))
 
+            # 5. epilogue: change detection, write-back, out-DMA (no wait),
+            # adjacent-halo patch for the prefetched strip.
             rowg = (
                 jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 0)
                 + i * s_rows
@@ -307,43 +440,64 @@ def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
             colg = jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 1)
             valid = (rowg < h) & (colg < w)
             changed = jnp.int32(0)
-            ocps = []
             for j in range(n_rw):
-                new = rw[j][t_steps : t_steps + s_rows, :]
-                diff = new != scratch[n_ro + j][
-                    t_steps : t_steps + s_rows, :
-                ]
+                slot = slot_of(o, n_ro + j)
+                new = rw[j][t : t + s_rows, :]
+                diff = new != scratch[n_ro + j][slot, t : t + s_rows, :]
                 changed = changed | jnp.max(
                     (diff & valid).astype(jnp.int32)
                 )
-                scratch[n_ro + j][t_steps : t_steps + s_rows, :] = new
-                cp = pltpu.make_async_copy(
-                    scratch[n_ro + j].at[pl.ds(t_steps, s_rows), :],
-                    out_refs[j].at[pl.ds(t_steps + i * s_rows, s_rows), :],
-                    sems.at[n_ro + n_rw + j],
-                )
-                cp.start()
-                ocps.append(cp)
-            for cp in ocps:
-                cp.wait()
+                scratch[n_ro + j][slot, t : t + s_rows, :] = new
+                out_dma(i, j, slot).start()
+
+                @pl.when((n1 < nstrips) & (n1 == i + 1))
+                def _(j=j, slot=slot):
+                    scratch[n_ro + j][
+                        slot_of(o + 1, n_ro + j), 0:t, :
+                    ] = scratch[n_ro + j][slot, s_rows : s_rows + t, :]
             ch_ref[i] = changed
+
+            # 6. last active strip: drain every outstanding out-DMA.
+            @pl.when(n1 >= nstrips)
+            def _():
+                for j in range(n_rw):
+                    out_dma(i, j, o % 3).wait()
+
+                @pl.when(p1 >= 0)
+                def _():
+                    for j in range(n_rw):
+                        out_dma(p1, j, (o + 2) % 3).wait()
+
+                @pl.when(pp >= 0)
+                def _():
+                    for j in range(n_rw):
+                        out_dma(pp, j, (o + 1) % 3).wait()
 
     outs = pl.pallas_call(
         kernel,
         grid=(nstrips,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_ro + n_rw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+        + [pl.BlockSpec(memory_space=pl.ANY)] * nf,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_rw
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, x.dtype) for x in rw_pad
         ] + [jax.ShapeDtypeStruct((nstrips,), jnp.int32)],
         scratch_shapes=[
-            pltpu.VMEM((slab, wp), x.dtype) for x in ro_pad + rw_pad
-        ] + [pltpu.SemaphoreType.DMA((n_ro + 2 * n_rw,))],
-        input_output_aliases={1 + n_ro + j: j for j in range(n_rw)},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(act, *ro_pad, *rw_pad)
+            pltpu.VMEM((2 if j < n_ro else 3, slab, wp),
+                       (ro_pad + rw_pad)[j].dtype)
+            for j in range(nf)
+        ] + [
+            pltpu.SemaphoreType.DMA((3, nf)),
+            pltpu.SemaphoreType.DMA((3, nf)),
+            pltpu.SemaphoreType.DMA((3, n_rw)),
+        ],
+        input_output_aliases={5 + n_ro + j: j for j in range(n_rw)},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=SKIP_VMEM_LIMIT,
+        ),
+    )(act, ord_, prv, prv2, nxt, *ro_pad, *rw_pad)
     return list(outs[:n_rw]), outs[n_rw]
 
 
@@ -363,8 +517,8 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
     Most fixpoint work concentrates on a few active regions after the
     first couple of passes, so steady-state pass cost scales with the
     active area, not the image. Returns (rw, unconverged, passes)."""
-    s_rows = _pick_strip_rows(-(-w // 128) * 128)
     wp = -(-w // 128) * 128
+    s_rows = _pick_skip_rows(wp, h, len(ro_row), len(rw_fields), t_steps)
     hp = -(-h // s_rows) * s_rows
     nstrips = hp // s_rows
     ro_pad = [_pad_field(x, f, t_steps, hp, wp) for x, f in ro_row]

@@ -50,7 +50,7 @@ def main(h=1080, w=1920, block=32):
               f"({min(ts)*1e3 / (sweeps // pg.T):.2f} ms/pass)", flush=True)
 
     # converged input: every pass is a no-op sweep (measures floor)
-    cb, ce, cs, _ = pg.compmin_gossip(L, bw, be, sz, 4 * (h + w))
+    cb, ce, cs, _, _ = pg.compmin_gossip(L, bw, be, sz, 4 * (h + w))
     f = jax.jit(lambda b, e, s: pg.compmin_gossip(L, b, e, s, 4 * (h + w)))
     out = f(cb, ce, cs)
     fence(out[1])

@@ -104,6 +104,44 @@ def test_boundary_extract_overflow_flag():
     assert bool(overflow)
 
 
+@pytest.mark.parametrize("cap", [7936, 8192])
+def test_boundary_extract_near_capacity(cap):
+    """Fill level within one staging window of capacity must never silently
+    drop entries: either overflow is flagged, or the pool is lossless.
+
+    Regression for the window-offset clip bug: with 7762 live edges,
+    cap_rows=62 and win_rows=32, the final DMA window's offset used to be
+    clipped down over previously-written live rows with overflow=False.
+    cap=7936 reproduces that geometry (must now flag overflow at window
+    granularity); cap=8192 has window headroom (must be lossless)."""
+    h, w = 16, 128
+    rng = np.random.default_rng(7)
+    # all-distinct labels: every valid edge live, no run dedup
+    L = np.arange(h * w, dtype=np.int32).reshape(h, w)
+    weights = rng.uniform(0.5, 9.0, (4, h, w)).astype(np.float32)
+    for d, (dy, dx) in enumerate(gg.DIRS4):
+        va = np.asarray(gg.valid_plane(h, w, dy, dx))
+        weights[d][~va] = np.inf
+
+    with pltpu.force_tpu_interpret_mode():
+        lo, hi, wv, eid, count, overflow = boundary_extract(
+            jnp.asarray(L), jnp.asarray(weights), w, cap
+        )
+    if bool(overflow):
+        assert cap == 7936  # headroom case must not flag
+        return
+    lo, hi, wv, eid = (np.asarray(x) for x in (lo, hi, wv, eid))
+    best, live = _reference_pairs(L, weights)
+    got = set()
+    for i in range(cap):
+        if lo[i] == INT32_MAX:
+            continue
+        got.add((int(lo[i]), int(hi[i]), float(wv[i]), int(eid[i])))
+    assert got <= live
+    for (plo, phi), (pw, pe) in best.items():
+        assert (plo, phi, pw, pe) in got, (plo, phi, pw, pe)
+
+
 @pytest.mark.parametrize("shape", [(23, 70), (40, 128)])
 def test_run_extract_counts(shape):
     """run_extract pool sums by label == exact component pixel counts."""
