@@ -154,8 +154,14 @@ def run_performance_ladder(
     reps: int = 5,
     cfg: SegmentationConfig | None = None,
     out_path: str | None = None,
+    content: str = "blobs",
 ) -> List[dict]:
     """Reference Fig. 2 protocol on synthetic ladder images.
+
+    content: "blobs" (piecewise-constant regions + noise; the tuned-on
+    default) or "textured" (photo-like multi-octave value noise — de-risks
+    blob-specific capacity/gate tuning; reference benchmarks photographs,
+    reference README.md:26).
 
     Returns one JSON-able row per (algorithm, resolution) with total and
     filter+graph phase stats.
@@ -163,12 +169,17 @@ def run_performance_ladder(
     import jax
     import jax.numpy as jnp
 
-    from ..utils.synthetic import blobs_image
+    from ..utils.synthetic import blobs_image, textured_image
 
     cfg = cfg or SegmentationConfig(k=300.0, min_size=100)
     rows: List[dict] = []
     for h, w in resolutions:
-        img_np = blobs_image(h, w, num_blobs=max(8, (h * w) // 65536), seed=0)
+        if content == "textured":
+            img_np = textured_image(h, w, seed=0)
+        else:
+            img_np = blobs_image(
+                h, w, num_blobs=max(8, (h * w) // 65536), seed=0
+            )
         img = jax.device_put(jnp.asarray(img_np))
         prep = prep_fn(cfg)
         prep_stats = _timed(lambda: prep(img)[0], reps)
@@ -198,6 +209,7 @@ def run_performance_ladder(
             row = {
                 "flags": flags_val,
                 "algorithm": algo,
+                "content": content,
                 "height": h,
                 "width": w,
                 "mpix": h * w / 1e6,

@@ -386,7 +386,8 @@ def _subtree_sizes(L, dist, max_sweeps, comm=_DENSE_COMM):
 
 
 def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
-            tau=jnp.inf, comm=_DENSE_COMM, rlist=None, sizes="subsum"):
+            tau=jnp.inf, comm=_DENSE_COMM, rlist=None, sizes="subsum",
+            closures=True):
     """One gossip Boruvka round. Sizes schemes:
 
     - sizes="subsum" (spatial comm mode): BFS-dist rides the flood, sizes
@@ -403,7 +404,8 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
         from ..ops.pallas import gossip as pg
 
         cw, ce, SZ, unconv, _ = pg.compmin_gossip(L, vminw, veid, S,
-                                                   max_sweeps)
+                                                   max_sweeps,
+                                                   closures=closures)
     else:
         cw, ce, SZ, unconv = _compmin_gossip(
             L, vminw, veid, S, max_sweeps, comm
@@ -450,7 +452,8 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
             from ..ops.pallas import gossip as pg
 
             Lnew, IDnew, lab_unconv, _ = pg.label_flood(
-                pg.pack_allow_bits(allow), L, id_init, max_sweeps
+                pg.pack_allow_bits(allow), L, id_init, max_sweeps,
+                closures=closures,
             )
         else:
             Lnew, IDnew, lab_unconv = _label_gossip_nd(
@@ -803,9 +806,12 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
         return s.merged & ((s.it < gossip_rounds) | (cnt > gate_c))
 
     def gbody2(s):
+        # closures=False: speed mode drops the scan-closure safety net
+        # (and its compile cost) — step-only passes with the full budget
+        # cover speed-mode diameters (see pallas.gossip.compmin_gossip).
         return advance(s, _ground(
             s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
-            tau=thresholds[s.bucket],
+            tau=thresholds[s.bucket], closures=False,
         ))
 
     gst = jax.lax.while_loop(gcond2, gbody2, gst)
@@ -992,7 +998,8 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
                      thresholds, nb, with_minsize=cfg.min_size > 1)
 
 
-def _final_map(gst: GossipState, st: CompactState, rm, r0, max_sweeps):
+def _final_map(gst: GossipState, st: CompactState, rm, r0, max_sweeps,
+               closures=True):
     """Stage-G labels through the stage-2 root map -> final (H, W) labels.
 
     A V-sized random gather (P[L]) costs ~7 ns/index on TPU (~60 ms @4K), so
@@ -1012,7 +1019,7 @@ def _final_map(gst: GossipState, st: CompactState, rm, r0, max_sweeps):
     if _use_pallas():
         from ..ops.pallas import gossip as pg
 
-        return pg.value_flood(gst.L, seed, max_sweeps)[:2]
+        return pg.value_flood(gst.L, seed, max_sweeps, closures=closures)[:2]
     return _value_flood(gst.L, seed, max_sweeps)
 
 
@@ -1028,7 +1035,8 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
     nb = max(cfg.weight_buckets, 1)
     st, rm, r0 = _extract_stage(gst, weights, cfg)
     st = _s2_stage(st, v, cfg, thresholds, nb)
-    labels, fm_unconv = _final_map(gst, st, rm, r0, 4 * (h + w))
+    labels, fm_unconv = _final_map(gst, st, rm, r0, 4 * (h + w),
+                                   closures=cfg.weight_buckets > 0)
     flags = st.flags | jnp.where(
         fm_unconv, jnp.int32(FLAG_GOSSIP_UNCONVERGED), jnp.int32(0)
     )
@@ -1087,11 +1095,13 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
         )
 
     # peel the first two rounds (counting-scatter sizes; see _stage_g).
+    use_closures = cfg.weight_buckets > 0
     for _peel in range(2):
         it0 = gst.it
         gst = advance(gst, _ground(
             gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
             tau=thresholds[gst.bucket], sizes="count",
+            closures=use_closures,
         ))
         levels = levels.at[jnp.minimum(it0, n_levels - 1)].set(gst.L)
     rcap = max(v // 2, 16384)
@@ -1110,7 +1120,7 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
         s, levels, rl = c
         s2, rl2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz",
                           max_sweeps, tau=thresholds[s.bucket], rlist=rl,
-                          sizes="rlist")
+                          sizes="rlist", closures=use_closures)
         s2 = advance(s, s2)
         levels = levels.at[jnp.minimum(s.it, n_levels - 1)].set(s2.L)
         return s2, levels, rl2
@@ -1230,7 +1240,8 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
         if _use_pallas():
             from ..ops.pallas import gossip as pg
 
-            lab, unconv, _ = pg.value_flood(gst.L, seed, max_sweeps)
+            lab, unconv, _ = pg.value_flood(gst.L, seed, max_sweeps,
+                                            closures=cfg.weight_buckets > 0)
         else:
             lab, unconv = _value_flood(gst.L, seed, max_sweeps)
         return lab, unconv

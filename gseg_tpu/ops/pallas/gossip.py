@@ -64,6 +64,18 @@ _TRANSPOSE_PERM = [1, 0, 2, 7, 5, 4, 6, 3]
 #   flow from BELOW     into p: neighbor (1, 0) = bit 1
 _BIT_L, _BIT_R, _BIT_U, _BIT_D = 4, 0, 5, 1
 
+# Lateral (non-diagonal) DIRS8 indices, horizontal pair first. Separable
+# steps restrict propagation to these four: the step functions update
+# fields sequentially across directions (Gauss-Seidel), so one lateral
+# step still covers most diagonal reach through an allowed side neighbor
+# at a third of the roll cost (1 roll per lateral dir vs 2 per diagonal).
+# Soundness: every pass opens with one FULL 8-dir step, so the fixpoint
+# certificate (a no-change pass) still certifies the 8-dir fixpoint;
+# diagonal-ONLY links (no lateral path — e.g. a diagonal merge mark
+# between otherwise-separated components) advance at >=1 hop per pass via
+# that full step instead of per-step.
+_LATERAL_DIRS = (0, 4, 1, 5)
+
 
 def _pick_strip_rows(wp: int) -> int:
     """Strip height for the CLOSURE kernels (_strip_call), sized against
@@ -285,7 +297,7 @@ WARM_PASSES = 64
 
 
 def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
-                     h, w, s_rows, t_steps):
+                     h, w, s_rows, t_steps, sep_fn=None):
     """One prefetch-pipelined pass over PADDED-resident fields with
     per-strip activity gating.
 
@@ -426,10 +438,15 @@ def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
                   for j in range(n_rw)]
             pre = prepare_fn(ro, slab, wp)
 
-            def step(_, rw):
-                return step_fn(pre, list(rw), slab, wp)
+            # Step 0 is always the FULL step (the pass's no-change
+            # certificate); remaining steps use the cheap separable
+            # variant when one is provided (see _LATERAL_DIRS).
+            rw = tuple(step_fn(pre, list(rw), slab, wp))
 
-            rw = jax.lax.fori_loop(0, t_steps, step, tuple(rw))
+            def step(_, rw):
+                return (sep_fn or step_fn)(pre, list(rw), slab, wp)
+
+            rw = jax.lax.fori_loop(1, t_steps, step, rw)
 
             # 5. epilogue: change detection, write-back, out-DMA (no wait),
             # adjacent-halo patch for the prefetched strip.
@@ -509,7 +526,7 @@ def _pad_field(x, fill, t_steps, hp, wp):
 
 
 def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
-                   t_steps=T):
+                   t_steps=T, sep_fn=None):
     """Step-only T-step passes with converged-strip skipping.
 
     Fields stay padded and resident across the whole fixpoint; each pass
@@ -533,7 +550,7 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
         act, it, rw = st
         rw, ch = _strip_call_skip(
             prepare_fn, step_fn, ro_pad, list(rw), fills, act,
-            h, w, s_rows, t_steps,
+            h, w, s_rows, t_steps, sep_fn=sep_fn,
         )
         up = jnp.concatenate([ch[1:], jnp.zeros((1,), jnp.int32)])
         dn = jnp.concatenate([jnp.zeros((1,), jnp.int32), ch[:-1]])
@@ -546,7 +563,7 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
 
 
 def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
-                     rw_fields, h, w, max_passes):
+                     rw_fields, h, w, max_passes, sep_fn=None):
     """Two-phase fixpoint driver.
 
     Phase 1 — cheap T-step passes in row orientation only (no closures):
@@ -564,7 +581,7 @@ def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
 
     rw1, unconv1, p1 = _step_fixpoint(
         prepare_fn, step_fn, ro_row, rw_fields, h, w,
-        min(max_passes, WARM_PASSES),
+        min(max_passes, WARM_PASSES), sep_fn=sep_fn,
     )
     st = (unconv1, p1, tuple(rw1))
 
@@ -612,10 +629,11 @@ def _compmin_prepare(ro, rows, wp):
     return (_same_bits(L, rows, wp),)
 
 
-def _compmin_step(pre, rw, rows, wp):
+def _compmin_step(pre, rw, rows, wp, dirs=tuple(range(8))):
     (bits,) = pre
     bw, be, sz = rw
-    for d, (dy, dx) in enumerate(gg.DIRS8):
+    for d in dirs:
+        dy, dx = gg.DIRS8[d]
         same = ((bits >> d) & 1) > 0
         nbw = _nbr(bw, dy, dx, rows, wp)
         nbe = _nbr(be, dy, dx, rows, wp)
@@ -625,6 +643,9 @@ def _compmin_step(pre, rw, rows, wp):
         be = jnp.where(take, nbe, be)
         sz = jnp.where(same & (nsz > sz), nsz, sz)
     return bw, be, sz
+
+
+_compmin_sep = functools.partial(_compmin_step, dirs=_LATERAL_DIRS)
 
 
 def _compmin_combine(cands, fields, s, rch):
@@ -648,7 +669,7 @@ def _allow_prepare(ro, rows, wp):
     return (allow,)
 
 
-def _label_step(pre, rw, rows, wp):
+def _label_step(pre, rw, rows, wp, dirs=tuple(range(8))):
     """Min-label flood with BFS dist riding along: adopting a smaller label
     overwrites dist with nd+1; equal labels relax dist. At the fixpoint dist
     is the exact BFS level from the new cluster root (labels only decrease,
@@ -657,7 +678,8 @@ def _label_step(pre, rw, rows, wp):
     (allow,) = pre
     Lc, idf, dist = rw
     big = jnp.int32(1 << 30)
-    for d, (dy, dx) in enumerate(gg.DIRS8):
+    for d in dirs:
+        dy, dx = gg.DIRS8[d]
         ok = ((allow >> d) & 1) > 0
         nL = _nbr(Lc, dy, dx, rows, wp)
         nid = _nbr(idf, dy, dx, rows, wp)
@@ -671,12 +693,16 @@ def _label_step(pre, rw, rows, wp):
     return Lc, idf, dist
 
 
-def _labelnd_step(pre, rw, rows, wp):
+_label_sep = functools.partial(_label_step, dirs=_LATERAL_DIRS)
+
+
+def _labelnd_step(pre, rw, rows, wp, dirs=tuple(range(8))):
     """Dist-free min-label flood + Int max ride (see models/turbo.py
     _label_gossip_nd)."""
     (allow,) = pre
     Lc, idf = rw
-    for d, (dy, dx) in enumerate(gg.DIRS8):
+    for d in dirs:
+        dy, dx = gg.DIRS8[d]
         ok = ((allow >> d) & 1) > 0
         nL = _nbr(Lc, dy, dx, rows, wp)
         nid = _nbr(idf, dy, dx, rows, wp)
@@ -684,6 +710,9 @@ def _labelnd_step(pre, rw, rows, wp):
         Lc = jnp.where(adopt, nL, Lc)
         idf = jnp.where(ok & (nid > idf), nid, idf)
     return Lc, idf
+
+
+_labelnd_sep = functools.partial(_labelnd_step, dirs=_LATERAL_DIRS)
 
 
 def _labelnd_combine(cands, fields, s, rch):
@@ -700,15 +729,19 @@ def _labelnd_closure(pre, rw, rows, wp):
     return _closure_4dir(allow, _labelnd_combine, rw, rows, wp)
 
 
-def _value_step(pre, rw, rows, wp):
+def _value_step(pre, rw, rows, wp, dirs=tuple(range(8))):
     """Min-value broadcast within same-label regions (final-map apply)."""
     (bits,) = pre
     (val,) = rw
-    for d, (dy, dx) in enumerate(gg.DIRS8):
+    for d in dirs:
+        dy, dx = gg.DIRS8[d]
         same = ((bits >> d) & 1) > 0
         nv = _nbr(val, dy, dx, rows, wp)
         val = jnp.where(same & (nv < val), nv, val)
     return (val,)
+
+
+_value_sep = functools.partial(_value_step, dirs=_LATERAL_DIRS)
 
 
 def _value_combine(cands, fields, s, rch):
@@ -765,15 +798,29 @@ def transpose_allow_bits(bits):
     return out
 
 
-def compmin_gossip(L, bw, be, sz, max_sweeps):
-    """Returns (bw, be, sz, unconverged)."""
+def compmin_gossip(L, bw, be, sz, max_sweeps, closures=True):
+    """Returns (bw, be, sz, unconverged, passes).
+
+    closures=False runs step-only passes with the FULL pass budget instead
+    of the two-phase hybrid: the speed path's components converge well
+    inside the budget (diameters at the gossip gate are ~resolution-
+    independent), converged-strip skipping keeps late passes active-area
+    priced, and dropping the closure kernels (+ their transposed-layout
+    twins) removes a large share of program compile time. Quality mode
+    (thin high-diameter components) keeps the closure safety net."""
     h, w = L.shape
     max_passes = -(-max_sweeps // T)
+    rw = [(bw, jnp.inf), (be, jnp.iinfo(jnp.int32).max), (sz, 0)]
+    if not closures:
+        (bw, be, sz), unconv, passes = _step_fixpoint(
+            _compmin_prepare, _compmin_step, [(L, -1)], rw, h, w,
+            max_passes, sep_fn=_compmin_sep,
+        )
+        return bw, be, sz, unconv, passes
     (bw, be, sz), unconv, passes = _hybrid_fixpoint(
         _compmin_prepare, _compmin_step, _compmin_closure,
-        [(L, -1)], [(L.T, -1)],
-        [(bw, jnp.inf), (be, jnp.iinfo(jnp.int32).max), (sz, 0)],
-        h, w, max_passes,
+        [(L, -1)], [(L.T, -1)], rw,
+        h, w, max_passes, sep_fn=_compmin_sep,
     )
     return bw, be, sz, unconv, passes
 
@@ -797,41 +844,59 @@ def label_gossip(allow_bits, Lc, idf, dist, max_sweeps):
         [(allow_bits, 0)],
         [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0),
          (dist, jnp.int32(1 << 30))],
-        h, w, max_passes,
+        h, w, max_passes, sep_fn=_label_sep,
     )
     return Lc, idf, dist, unconv, passes
 
 
-def label_flood(allow_bits, Lc, idf, max_sweeps):
-    """Dist-free min-label flood. Returns (Lc, idf, unconverged).
+def label_flood(allow_bits, Lc, idf, max_sweeps, closures=True):
+    """Dist-free min-label flood. Returns (Lc, idf, unconverged, passes).
 
     The production stage-G flood for rounds sized by the root list
     (models/turbo.py): without the riding BFS dist the fields are pure
     min/max semilattices, so the scan closures converge in staircase
-    complexity at any component diameter."""
+    complexity at any component diameter. closures=False: see
+    compmin_gossip."""
     h, w = Lc.shape
     max_passes = -(-max_sweeps // T)
+    rw = [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0)]
+    if not closures:
+        (Lc, idf), unconv, passes = _step_fixpoint(
+            _allow_prepare, _labelnd_step, [(allow_bits, 0)], rw, h, w,
+            max_passes, sep_fn=_labelnd_sep,
+        )
+        return Lc, idf, unconv, passes
     (Lc, idf), unconv, passes = _hybrid_fixpoint(
         _allow_prepare, _labelnd_step, _labelnd_closure,
         [(allow_bits, 0)], [(transpose_allow_bits(allow_bits), 0)],
-        [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0)],
-        h, w, max_passes,
+        rw, h, w, max_passes, sep_fn=_labelnd_sep,
     )
     return Lc, idf, unconv, passes
 
 
-def value_flood(L, val, max_sweeps):
-    """Min-value broadcast within same-L regions. Returns (val, unconverged).
+def value_flood(L, val, max_sweeps, closures=True):
+    """Min-value broadcast within same-L regions. Returns (val, unconverged,
+    passes).
 
     Used by the turbo final-map apply: the final label is scattered onto each
     component's root pixel and flooded to the rest — replacing a V-sized
-    random gather (~7 ns/index) with dense scan-closure passes.
+    random gather (~7 ns/index) with dense passes. closures=False: see
+    compmin_gossip (final components can span the image, but the step-only
+    wavefront is active-area priced while a 4K closure pass-pair is not).
     """
     h, w = L.shape
+    rw = [(val, jnp.iinfo(jnp.int32).max)]
+    if not closures:
+        (val,), unconv, passes = _step_fixpoint(
+            _compmin_prepare, _value_step, [(L, -1)], rw, h, w,
+            -(-max_sweeps // T), sep_fn=_value_sep,
+        )
+        return val, unconv, passes
     (val,), unconv, passes = _hybrid_fixpoint(
         _compmin_prepare, _value_step, _value_closure,
         [(L, -1)], [(L.T, -1)],
-        [(val, jnp.iinfo(jnp.int32).max)], h, w, -(-max_sweeps // T),
+        rw, h, w, -(-max_sweeps // T),
+        sep_fn=_value_sep,
     )
     return val, unconv, passes
 

@@ -28,12 +28,71 @@ def blobs_image(h: int, w: int, num_blobs: int = 6, noise: float = 8.0,
 
 def blobs_ground_truth(h: int, w: int, num_blobs: int = 6, seed: int = 0
                        ) -> np.ndarray:
+    """Nearest-center (voronoi) blob id map, O(H*W) memory.
+
+    Computed as a running argmin over centers in float32 — a materialized
+    (H, W, num_blobs) float64 distance tensor is ~8 GB at 4K and ~134 GB
+    at 8K with the ladder's pixel-proportional blob counts (the 4K+ rung
+    image generation used to dominate bench wall time and contributed to
+    the 8K host OOM)."""
     rng = np.random.default_rng(seed)
     cy = rng.uniform(0, h, num_blobs)
     cx = rng.uniform(0, w, num_blobs)
     yy, xx = np.mgrid[0:h, 0:w]
-    d = (yy[..., None] - cy) ** 2 + (xx[..., None] - cx) ** 2
-    return np.argmin(d, axis=-1).astype(np.int32)
+    yy = yy.astype(np.float32)
+    xx = xx.astype(np.float32)
+    best = np.full((h, w), np.inf, np.float32)
+    own = np.zeros((h, w), np.int32)
+    for i in range(num_blobs):
+        d = (yy - np.float32(cy[i])) ** 2 + (xx - np.float32(cx[i])) ** 2
+        closer = d < best
+        best[closer] = d[closer]
+        own[closer] = i
+    return own
+
+
+def textured_image(h: int, w: int, seed: int = 0) -> np.ndarray:
+    """Photo-like test content: multi-octave value noise (soft regions of
+    many scales), a global illumination gradient, and per-pixel sensor
+    noise, uint8.
+
+    The reference benchmarks JPG photographs (reference README.md:26);
+    blob images have atypically clean region structure, so every
+    capacity/gate constant tuned on them (component-count decay, boundary
+    density, iteration counts) needs a de-risking input with photo-like
+    statistics: smooth shading, textured areas, edges at many contrasts,
+    no piecewise-constant ground truth.
+    """
+    rng = np.random.default_rng(seed)
+    acc = np.zeros((h, w, 3), np.float64)
+    amp = 1.0
+    # octaves: coarse 8x8 lattice up to ~quarter resolution, bilinearly
+    # upsampled — classic value noise, deterministic and dataset-free.
+    cells = 8
+    while cells <= max(h, w) // 4:
+        gh, gw = min(cells, h), min(cells, w)
+        lattice = rng.uniform(-1.0, 1.0, (gh + 1, gw + 1, 3))
+        yy = np.linspace(0, gh, h, endpoint=False)
+        xx = np.linspace(0, gw, w, endpoint=False)
+        y0 = yy.astype(int)
+        x0 = xx.astype(int)
+        fy = (yy - y0)[:, None, None]
+        fx = (xx - x0)[None, :, None]
+        a = lattice[y0][:, x0]
+        b = lattice[y0][:, x0 + 1]
+        c = lattice[y0 + 1][:, x0]
+        d = lattice[y0 + 1][:, x0 + 1]
+        acc += amp * ((a * (1 - fx) + b * fx) * (1 - fy)
+                      + (c * (1 - fx) + d * fx) * fy)
+        amp *= 0.55
+        cells *= 2
+    acc /= max(np.abs(acc).max(), 1e-9)
+    img = 128.0 + 96.0 * acc
+    # illumination gradient + sensor noise
+    yy, xx = np.mgrid[0:h, 0:w]
+    img += (20.0 * yy / max(h - 1, 1) - 10.0)[..., None]
+    img += rng.normal(0.0, 3.0, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
 
 
 def gradient_image(h: int, w: int) -> np.ndarray:

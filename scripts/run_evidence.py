@@ -35,19 +35,22 @@ from gseg_tpu.bench import harness
 from gseg_tpu.bench import plots
 from gseg_tpu.config import SegmentationConfig
 
-# (algorithm, rung indices into RESOLUTION_LADDER, extra cfg kwargs).
-# Rung ceilings bound the compile budget: the 8K rung is turbo-only (the
-# no-2^26-px-cap demonstration); atomic is scatter-bound; hostsync pays
-# ~30 ms/round through the tunnel.
+# (algorithm, rung indices into RESOLUTION_LADDER, extra cfg kwargs,
+# image content). Rung ceilings bound the compile budget: the 8K rung is
+# turbo-only (the no-2^26-px-cap demonstration); atomic is scatter-bound;
+# hostsync pays ~30 ms/round through the tunnel.
 LADDERS = [
-    ("turbo", [0, 1, 2, 3, 4, 5], {}),  # 8K attempted separately: the host OOMs compiling it mid-campaign
-    ("fastmst", [0, 1, 2, 4], {}),
-    ("superpixel", [0, 1, 2, 4], {}),
-    ("atomic", [0, 1, 2], {}),
-    ("atomic_hostsync", [0], {}),
+    ("turbo", [0, 1, 2, 3, 4, 5, 6], {}, "blobs"),
+    # photo-like content (de-risks blob-derived capacity/gate tuning):
+    # same compiled programs as the blob rows, so the rungs are cheap.
+    ("turbo", [0, 2, 4], {}, "textured"),
+    ("fastmst", [0, 1, 2, 4], {}, "blobs"),
+    ("superpixel", [0, 1, 2, 4], {}, "blobs"),
+    ("atomic", [0, 1, 2], {}, "blobs"),
+    ("atomic_hostsync", [0], {}, "blobs"),
     # LAST: quality-mode programs compile for ~1 h each (both sizes-scheme
     # branches + 16-bucket machinery) — must not starve the cheap ladders.
-    ("turbo_wb16", [0, 2], {"weight_buckets": 16}),
+    ("turbo_wb16", [0, 2], {"weight_buckets": 16}, "blobs"),
 ]
 
 QUALITY_ALGOS = [
@@ -68,25 +71,28 @@ def base_algo(name: str) -> str:
 def section_perf(out_dir: str) -> list:
     path = os.path.join(out_dir, "perf.jsonl")
     rows = _load(path)  # resume: keep rungs measured by a prior run
-    done = {(r.get("algorithm"), r.get("height"), r.get("width"))
+    done = {(r.get("algorithm"), r.get("content", "blobs"), r.get("height"),
+             r.get("width"))
             for r in rows if "error" not in r}
-    for name, rungs, extra in LADDERS:
+    for name, rungs, extra, content in LADDERS:
         cfg = SegmentationConfig(k=300.0, min_size=100, **extra)
         resolutions = [harness.RESOLUTION_LADDER[i] for i in rungs]
         t0 = time.time()
-        print(f"[perf] {name}: {len(resolutions)} rungs", flush=True)
+        print(f"[perf] {name}/{content}: {len(resolutions)} rungs",
+              flush=True)
         for res in resolutions:  # per-rung isolation: one bad compile
-            if (name, res[0], res[1]) in done:
+            if (name, content, res[0], res[1]) in done:
                 continue
             try:                 # must not lose the rest of the ladder
                 rs = harness.run_performance_ladder(
                     algorithms=[base_algo(name)], resolutions=[res],
-                    reps=5, cfg=cfg,
+                    reps=5, cfg=cfg, content=content,
                 )
             except Exception as e:
                 msg = str(e).splitlines()[0][:300]
                 print(f"[perf] {name}@{res} FAILED: {msg}", flush=True)
-                rows.append({"algorithm": name, "height": res[0],
+                rows.append({"algorithm": name, "content": content,
+                             "height": res[0],
                              "width": res[1], "error": msg})
                 continue
             for r in rs:
@@ -130,7 +136,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="bench_out")
     ap.add_argument("--force", action="store_true")
-    ap.add_argument("--sections", default="perf,fig3,quality,plots")
+    ap.add_argument("--sections", default="perf,fig3,quality,batch,plots")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     sections = args.sections.split(",")
@@ -157,11 +163,49 @@ def main():
             for r in rows:
                 f.write(json.dumps(r) + "\n")
 
+    batch_path = os.path.join(args.out, "batch.jsonl")
+    if "batch" in sections and (args.force or not _done(batch_path)):
+        # Serving-throughput headline (SURVEY §2.4 S10; the reference is
+        # one-image-at-a-time): batched turbo at 1080p and 4K, lax.map path.
+        from gseg_tpu.parallel.batching import segment_batch_flagged
+        from gseg_tpu.utils.synthetic import blobs_image
+
+        import jax
+        import jax.numpy as jnp
+
+        brows = []
+        cfg = SegmentationConfig(k=300.0, min_size=100, algorithm="turbo")
+        for (h, w), bs in ((1080, 1920), 4), ((2160, 3840), 2):
+            print(f"[batch] {h}x{w} x{bs}", flush=True)
+            try:
+                imgs = np.stack([
+                    blobs_image(h, w, num_blobs=max(8, (h * w) // 65536),
+                                seed=s) for s in range(bs)
+                ])
+                dimgs = jax.device_put(jnp.asarray(imgs))
+                fn = lambda: segment_batch_flagged(dimgs, cfg)[0]
+                st = harness._timed(fn, reps=3)
+                brows.append({
+                    "height": h, "width": w, "batch": bs,
+                    "total": st,
+                    "mpix_per_s": bs * h * w / 1e6 / st["mean_s"],
+                })
+                print(f"[batch] {h}x{w} x{bs}: "
+                      f"{brows[-1]['mpix_per_s']:.1f} MPix/s", flush=True)
+            except Exception as e:
+                brows.append({"height": h, "width": w, "batch": bs,
+                              "error": str(e).splitlines()[0][:300]})
+        with open(batch_path, "w") as f:
+            for r in brows:
+                f.write(json.dumps(r) + "\n")
+
     if "plots" in sections:
         perf_rows = _load(perf_path)
         if perf_rows:
             plots.plot_performance(
-                [r for r in perf_rows if "error" not in r],
+                [r for r in perf_rows
+                 if "error" not in r
+                 and r.get("content", "blobs") == "blobs"],
                 os.path.join(args.out, "perf.png"),
                 reference=plots.REFERENCE_TOTALS,
             )

@@ -26,8 +26,9 @@ def _rand_labels(rng, h, w, ncomp):
     return rng.integers(0, ncomp, (h, w)).astype(np.int32)
 
 
+@pytest.mark.parametrize("closures", [True, False])
 @pytest.mark.parametrize("shape", SHAPES)
-def test_compmin_matches_xla(shape):
+def test_compmin_matches_xla(shape, closures):
     h, w = shape
     rng = np.random.default_rng(h * 1000 + w)
     L = jnp.asarray(_rand_labels(rng, h, w, 7))
@@ -37,7 +38,7 @@ def test_compmin_matches_xla(shape):
     ms = 4 * (h + w)
     ref = turbo._compmin_gossip(L, bw, be, sz, ms)
     with pltpu.force_tpu_interpret_mode():
-        got = pg.compmin_gossip(L, bw, be, sz, ms)
+        got = pg.compmin_gossip(L, bw, be, sz, ms, closures=closures)
     for r, g in zip(ref, got):
         assert np.array_equal(np.asarray(r), np.asarray(g))
 
@@ -81,8 +82,9 @@ def test_label_flood_matches_xla(shape):
         assert np.array_equal(np.asarray(r), np.asarray(g))
 
 
+@pytest.mark.parametrize("closures", [True, False])
 @pytest.mark.parametrize("shape", SHAPES[:2])
-def test_label_flood_nodist_matches_xla(shape):
+def test_label_flood_nodist_matches_xla(shape, closures):
     """Dist-free flood (rlist-sizes rounds) vs the XLA dist-free sweeps."""
     h, w = shape
     rng = np.random.default_rng(3 * h + w)
@@ -107,7 +109,8 @@ def test_label_flood_nodist_matches_xla(shape):
     allow8 = jnp.stack(allow)
     rL, rI, _ = turbo._label_gossip_nd(L, allow8, idf, ms)
     with pltpu.force_tpu_interpret_mode():
-        gL, gI, _, _ = pg.label_flood(pg.pack_allow_bits(allow), L, idf, ms)
+        gL, gI, _, _ = pg.label_flood(pg.pack_allow_bits(allow), L, idf, ms,
+                                      closures=closures)
     assert np.array_equal(np.asarray(rL), np.asarray(gL))
     assert np.array_equal(np.asarray(rI), np.asarray(gI))
 
@@ -185,8 +188,9 @@ def test_subtree_sizes_matches_xla(shape):
         assert got[ry, rx] == int((Ln == root).sum())
 
 
+@pytest.mark.parametrize("closures", [True, False])
 @pytest.mark.parametrize("shape", SHAPES[:2])
-def test_value_flood_matches_xla_and_broadcasts(shape):
+def test_value_flood_matches_xla_and_broadcasts(shape, closures):
     h, w = shape
     rng = np.random.default_rng(h * 7 + w)
     L = jnp.asarray(_canonicalize(_rand_labels(rng, h, w, 4)))
@@ -204,7 +208,7 @@ def test_value_flood_matches_xla_and_broadcasts(shape):
 
     ref_v, ref_unconv = turbo._value_flood(L, seed, ms)
     with pltpu.force_tpu_interpret_mode():
-        got_v, got_unconv, _ = pg.value_flood(L, seed, ms)
+        got_v, got_unconv, _ = pg.value_flood(L, seed, ms, closures=closures)
     assert np.array_equal(np.asarray(ref_v), np.asarray(got_v))
     assert bool(ref_unconv) == bool(got_unconv)
     # every pixel got its root's value
