@@ -793,28 +793,47 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
         gst, _ = jax.lax.while_loop(gcond, gbody, (gst, rlist))
         return gst, weights, thresholds
 
-    # PLAIN MODE: dist+subsum rounds (convergecast cost ~ diameter) with
-    # converged-strip skipping. Diameters grow ~geometrically per round; an
-    # earlier V/40 handoff was measured and REJECTED: at that density the
-    # boundary-edge count is still ~V (sponge-shaped components), which
-    # pushes pixel-scale work into extraction and stage 2 — gossip round 4
-    # is cheaper than the stage-2 rounds it would replace.
+    # PLAIN MODE. Diameters grow ~geometrically per round, and with them
+    # the cost of the riding-BFS-dist + subtree-sum convergecast (round 4
+    # was ~70 ms of a 114 ms stage G @1080p): rounds 1-2 keep the
+    # convergecast (near-free at tiny diameters, no pool machinery),
+    # rounds 3+ switch to the dist-free flood with exact sizes grouped
+    # over the compact old-root list — the same scheme quality mode uses,
+    # minus its bucket ramp. The V/128 gate stays: an earlier V/40 handoff
+    # was measured and REJECTED (sponge-shaped components keep boundary
+    # edges ~V at that density, pushing pixel-scale work into extraction
+    # and stage 2). closures=False throughout: speed-mode diameters
+    # converge inside the step-pass budget, and dropping the closure
+    # kernels (+ transposed twins) cuts program compile cost.
     gate_c = v // 128
+    for _peel in range(2):
+        gst = advance(gst, _ground(
+            gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
+            tau=thresholds[gst.bucket], closures=False,
+        ))
+    # C after 2 speed rounds is ~V/13 on blob content (4x decay/round) but
+    # content-dependent; V/4 bounds it with margin for noise-heavy inputs
+    # (the rlist only shrinks after creation, and overflow is flagged).
+    rcap = max(v // 4, 16384)
+    rlist, rovf = _build_rlist(gst.L, rcap)
+    gst = gst._replace(
+        flags=gst.flags
+        | jnp.where(rovf, jnp.int32(FLAG_COMP_OVERFLOW), jnp.int32(0))
+    )
 
-    def gcond2(s):
+    def gcond2(c):
+        s = c[0]
         cnt = jnp.sum((s.L == vid).astype(jnp.int32))
         return s.merged & ((s.it < gossip_rounds) | (cnt > gate_c))
 
-    def gbody2(s):
-        # closures=False: speed mode drops the scan-closure safety net
-        # (and its compile cost) — step-only passes with the full budget
-        # cover speed-mode diameters (see pallas.gossip.compmin_gossip).
-        return advance(s, _ground(
-            s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
-            tau=thresholds[s.bucket], closures=False,
-        ))
+    def gbody2(c):
+        s, rl = c
+        s2, rl2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz",
+                          max_sweeps, tau=thresholds[s.bucket], rlist=rl,
+                          sizes="rlist", closures=False)
+        return advance(s, s2), rl2
 
-    gst = jax.lax.while_loop(gcond2, gbody2, gst)
+    gst, _ = jax.lax.while_loop(gcond2, gbody2, (gst, rlist))
     return gst, weights, thresholds
 
 

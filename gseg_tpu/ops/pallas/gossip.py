@@ -65,16 +65,22 @@ _TRANSPOSE_PERM = [1, 0, 2, 7, 5, 4, 6, 3]
 _BIT_L, _BIT_R, _BIT_U, _BIT_D = 4, 0, 5, 1
 
 # Lateral (non-diagonal) DIRS8 indices, horizontal pair first. Separable
-# steps restrict propagation to these four: the step functions update
-# fields sequentially across directions (Gauss-Seidel), so one lateral
-# step still covers most diagonal reach through an allowed side neighbor
-# at a third of the roll cost (1 roll per lateral dir vs 2 per diagonal).
-# Soundness: every pass opens with one FULL 8-dir step, so the fixpoint
-# certificate (a no-change pass) still certifies the 8-dir fixpoint;
-# diagonal-ONLY links (no lateral path — e.g. a diagonal merge mark
-# between otherwise-separated components) advance at >=1 hop per pass via
-# that full step instead of per-step.
+# steps restrict propagation to these four after the pass's opening FULL
+# 8-dir step (the no-change certificate), at a third of the roll cost
+# (1 roll per lateral dir vs 2 per diagonal). MEASURED OFF by default:
+# lateral-only steps halve per-pass L-inf reach on diagonal geodesics, and
+# at T=8 per-pass fixed cost (strip DMA round trips) dominates roll
+# compute, so the doubled pass count loses outright — 1080p stage G
+# regressed 110 -> 156 ms with separable steps on. Kept behind GSEG_SEP=1
+# for re-evaluation if per-pass fixed cost ever shrinks below compute.
 _LATERAL_DIRS = (0, 4, 1, 5)
+
+
+def _sep(fn):
+    """Separable-step A/B gate (GSEG_SEP=1 enables — measurement knob)."""
+    import os
+
+    return fn if os.environ.get("GSEG_SEP", "0") == "1" else None
 
 
 def _pick_strip_rows(wp: int) -> int:
@@ -814,13 +820,13 @@ def compmin_gossip(L, bw, be, sz, max_sweeps, closures=True):
     if not closures:
         (bw, be, sz), unconv, passes = _step_fixpoint(
             _compmin_prepare, _compmin_step, [(L, -1)], rw, h, w,
-            max_passes, sep_fn=_compmin_sep,
+            max_passes, sep_fn=_sep(_compmin_sep),
         )
         return bw, be, sz, unconv, passes
     (bw, be, sz), unconv, passes = _hybrid_fixpoint(
         _compmin_prepare, _compmin_step, _compmin_closure,
         [(L, -1)], [(L.T, -1)], rw,
-        h, w, max_passes, sep_fn=_compmin_sep,
+        h, w, max_passes, sep_fn=_sep(_compmin_sep),
     )
     return bw, be, sz, unconv, passes
 
@@ -844,7 +850,7 @@ def label_gossip(allow_bits, Lc, idf, dist, max_sweeps):
         [(allow_bits, 0)],
         [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0),
          (dist, jnp.int32(1 << 30))],
-        h, w, max_passes, sep_fn=_label_sep,
+        h, w, max_passes, sep_fn=_sep(_label_sep),
     )
     return Lc, idf, dist, unconv, passes
 
@@ -863,13 +869,13 @@ def label_flood(allow_bits, Lc, idf, max_sweeps, closures=True):
     if not closures:
         (Lc, idf), unconv, passes = _step_fixpoint(
             _allow_prepare, _labelnd_step, [(allow_bits, 0)], rw, h, w,
-            max_passes, sep_fn=_labelnd_sep,
+            max_passes, sep_fn=_sep(_labelnd_sep),
         )
         return Lc, idf, unconv, passes
     (Lc, idf), unconv, passes = _hybrid_fixpoint(
         _allow_prepare, _labelnd_step, _labelnd_closure,
         [(allow_bits, 0)], [(transpose_allow_bits(allow_bits), 0)],
-        rw, h, w, max_passes, sep_fn=_labelnd_sep,
+        rw, h, w, max_passes, sep_fn=_sep(_labelnd_sep),
     )
     return Lc, idf, unconv, passes
 
@@ -889,14 +895,14 @@ def value_flood(L, val, max_sweeps, closures=True):
     if not closures:
         (val,), unconv, passes = _step_fixpoint(
             _compmin_prepare, _value_step, [(L, -1)], rw, h, w,
-            -(-max_sweeps // T), sep_fn=_value_sep,
+            -(-max_sweeps // T), sep_fn=_sep(_value_sep),
         )
         return val, unconv, passes
     (val,), unconv, passes = _hybrid_fixpoint(
         _compmin_prepare, _value_step, _value_closure,
         [(L, -1)], [(L.T, -1)],
         rw, h, w, -(-max_sweeps // T),
-        sep_fn=_value_sep,
+        sep_fn=_sep(_value_sep),
     )
     return val, unconv, passes
 
