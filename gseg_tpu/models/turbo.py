@@ -717,6 +717,51 @@ def _recompact_edges(st: CompactState, cap):
     return st._replace(esrc=o1, edst=o2, ew=ow, eeid=oe), ovf
 
 
+def _prune_dead(st: CompactState, v, k, min_size):
+    """Kill edges that can never participate in another merge (lossless).
+
+    A component whose min outgoing weight exceeds its own threshold
+    Int(C) + k/|C| is FROZEN: no felz merge can involve it again — the
+    predicate needs w <= min(thr_src, thr_dst), every outgoing w exceeds
+    its thr, and its thr can only change by merging (which therefore never
+    happens while felz rounds run). A directed edge is dead when both
+    endpoints are frozen AND the source is not small: min-size rounds
+    (which ignore thresholds) only hook FROM small components, and any
+    component that is small at any later round is a union of currently-
+    small ones (size only grows), whose outgoing edges are all kept by
+    the small-source term. Mostly a no-op on blob content (~13 frozen
+    @1080p) — the insurance is for textured/photo content where many
+    final-size components freeze while still adjacent.
+
+    Returns st with dead edges' weights set to +inf (a following
+    _recompact_edges drops them)."""
+    live = (st.esrc != st.edst) & jnp.isfinite(st.ew)
+    key = jnp.where(live, st.esrc, INT32_MAX)
+    kw = jnp.where(live, st.ew, jnp.inf)
+    s_src, s_w = jax.lax.sort((key, kw), num_keys=2)
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), s_src[1:] != s_src[:-1]]
+    ) & (s_src != INT32_MAX)
+    minw = jnp.full((v + 1,), jnp.inf, jnp.float32).at[
+        jnp.where(head, s_src, v)
+    ].min(s_w, mode="drop")[:v]
+    thr = st.IDf + jnp.float32(k) / jnp.maximum(
+        st.SZf.astype(jnp.float32), 1.0
+    )
+    frozen = minw > thr
+    small = st.SZf < min_size
+    # Droppable iff BOTH endpoints frozen (and src not small). An edge
+    # from an UNFROZEN src to a frozen dst must be kept even though that
+    # hook can never fire: it may be the src's min outgoing edge, and
+    # Boruvka components propose ONLY their min edge — dropping it would
+    # promote the next-best edge into the proposal slot and merge earlier
+    # than the oracle. A frozen src's proposals all fail regardless
+    # (every outgoing w >= minw > thr_src), so its edges to other frozen
+    # components are semantically inert.
+    keep = ~(frozen[st.esrc] & frozen[st.edst]) | small[st.esrc]
+    return st._replace(ew=jnp.where(live & ~keep, jnp.inf, st.ew))
+
+
 # ---------------------------------------------------------------------------
 # Pipeline
 # ---------------------------------------------------------------------------
@@ -1013,7 +1058,28 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
         flags=st.flags
         | jnp.where(rec_ovf, jnp.int32(FLAG_RECOMPACT_OVERFLOW), jnp.int32(0))
     )
-    return _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, s2_iters,
+    if cfg.weight_buckets > 0:
+        return _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, s2_iters,
+                         thresholds, nb, with_minsize=cfg.min_size > 1)
+    # Speed mode: live edges/heads decay ~3-4x per round (measured @1080p,
+    # blobs: 39.6k -> 25k -> 10.8k -> 2.7k directed edges, 6.4k -> 1.4k ->
+    # 238 -> 44 heads; textured: 50k -> 31.6k -> 17.3k -> 8.6k edges)
+    # while round cost is gather/scatter-bound at CAPACITY. Two rounds at
+    # full caps, then prune provably-dead edges and recompact to much
+    # smaller buffers for the remaining rounds. The v/128 edge cap holds
+    # ~2x the worst measured content at this point; low-k configs (many
+    # frozen-but-adjacent final components) fit because of the prune.
+    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, 2,
+                   thresholds, nb, with_minsize=False, flag_exhaustion=False)
+    st = _prune_dead(st, v, cfg.k, cfg.min_size)
+    st, rec2_ovf = _recompact_edges(st, max(v // 128, 8192))
+    st = st._replace(
+        flags=st.flags
+        | jnp.where(rec2_ovf, jnp.int32(FLAG_RECOMPACT_OVERFLOW),
+                    jnp.int32(0))
+    )
+    comp_cap2 = max(v // 1024, 4096)
+    return _s2_phase(st, v, comp_cap2, cfg.k, cfg.min_size, s2_iters,
                      thresholds, nb, with_minsize=cfg.min_size > 1)
 
 

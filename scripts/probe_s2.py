@@ -75,7 +75,7 @@ def main(h=1080, w=1920, content="blobs"):
         n_frozen = jnp.sum(frozen_t.astype(jnp.int32))
         small = st.SZf < cfg.min_size
         keep = live & (
-            (~frozen_t[st.esrc] & ~frozen_t[st.edst])
+            ~(frozen_t[st.esrc] & frozen_t[st.edst])
             | small[st.esrc]
         )
         n_keep = jnp.sum(keep.astype(jnp.int32))
