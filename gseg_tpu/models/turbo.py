@@ -808,11 +808,19 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
         # dist-free floods (scan closures past WARM_PASSES) with root-list
         # sizes, handing off early at v/32.
         gate_c = v // 32
-        for _peel in range(2):
-            gst = advance(gst, _ground(
-                gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
-                tau=thresholds[gst.bucket], sizes="count",
+
+        def pcond(s):
+            return s.merged & (s.it < 2)
+
+        def pbody(s):
+            return advance(s, _ground(
+                s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
+                tau=thresholds[s.bucket], sizes="count",
             ))
+
+        # two peel rounds in ONE while_loop (a single traced _ground body
+        # instead of two unrolled copies — compile cost).
+        gst = jax.lax.while_loop(pcond, pbody, gst)
         # the bucket ramp merges slowly by design: after two rounds the
         # component count can still be ~V/3, so the root list needs
         # pixel-scale capacity (the slow-but-exact path).
@@ -851,11 +859,17 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
     # converge inside the step-pass budget, and dropping the closure
     # kernels (+ transposed twins) cuts program compile cost.
     gate_c = v // 128
-    for _peel in range(2):
-        gst = advance(gst, _ground(
-            gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
-            tau=thresholds[gst.bucket], closures=False,
+
+    def pcond(s):
+        return s.merged & (s.it < 2)
+
+    def pbody(s):
+        return advance(s, _ground(
+            s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
+            tau=thresholds[s.bucket], closures=False,
         ))
+
+    gst = jax.lax.while_loop(pcond, pbody, gst)
     # C after 2 speed rounds is ~V/13 on blob content (4x decay/round) but
     # content-dependent; V/4 bounds it with margin for noise-heavy inputs
     # (the rlist only shrinks after creation, and overflow is flagged).
@@ -1179,16 +1193,25 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
             merged=s2.merged | more,
         )
 
-    # peel the first two rounds (counting-scatter sizes; see _stage_g).
+    # peel the first two rounds (counting-scatter sizes; see _stage_g),
+    # in one while_loop (single traced _ground body — compile cost).
     use_closures = cfg.weight_buckets > 0
-    for _peel in range(2):
-        it0 = gst.it
-        gst = advance(gst, _ground(
-            gst, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
-            tau=thresholds[gst.bucket], sizes="count",
+
+    def pcond(c):
+        s = c[0]
+        return s.merged & (s.it < 2)
+
+    def pbody(c):
+        s, levels = c
+        it0 = s.it
+        s = advance(s, _ground(
+            s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
+            tau=thresholds[s.bucket], sizes="count",
             closures=use_closures,
         ))
-        levels = levels.at[jnp.minimum(it0, n_levels - 1)].set(gst.L)
+        return s, levels.at[jnp.minimum(it0, n_levels - 1)].set(s.L)
+
+    gst, levels = jax.lax.while_loop(pcond, pbody, (gst, levels))
     rcap = max(v // 2, 16384)
     rlist, rovf = _build_rlist(gst.L, rcap)
     gst = gst._replace(
