@@ -50,7 +50,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import grid_graph as gg
 
-T = 8        # steps per pass for the step-only subsum kernel
+import os as _os
+
+# Steps per pass for the step-only kernels. More steps per pass amortize
+# the per-strip DMA round trips over more compute (pass count ~ diameter/T)
+# at the price of fatter halos (slab = s_rows + 2T: more recompute + VMEM).
+# GSEG_T overrides for on-hardware A/B sweeps.
+T = int(_os.environ.get("GSEG_T", "8"))
 T_SCAN = 4   # steps per pass when scan closures do the long-range work
 
 _REV = [4, 5, 6, 7, 0, 1, 2, 3]

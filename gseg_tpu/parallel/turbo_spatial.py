@@ -172,23 +172,47 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
     )
     w8, eid8 = _incident_views_spatial(weights, vidg, comm)
 
+    gather = lambda x: jax.lax.all_gather(x, axis_name, tiled=True)
+    nb = max(cfg.weight_buckets, 1)
+    if cfg.weight_buckets > 0:
+        # Exact global bucket thresholds: gather the 4 weight planes
+        # (replicated, transient — quality mode already replicates V-sized
+        # stage-2 state) and reuse the dense sampling arithmetic so the
+        # bucket ramp is bit-identical to single-device segment_turbo.
+        wg = jnp.stack([gather(weights[d]) for d in range(4)])
+        thresholds = turbo.bucket_thresholds(wg, nb)
+    else:
+        thresholds = jnp.array([jnp.inf], dtype=jnp.float32)
+
     gst = turbo.GossipState(
         L=vidg, S=jnp.ones((h_loc, w), jnp.int32),
         ID=jnp.zeros((h_loc, w), jnp.float32),
         merged=jnp.bool_(True), it=jnp.int32(0), bucket=jnp.int32(0),
         flags=jnp.int32(0),
     )
-    gate_c = v // 128
+    # same handoff gates as the dense path (models/turbo.py _stage_g); the
+    # sizes scheme differs (subsum convergecast works under halo exchange)
+    # but every scheme computes exact sizes, so the partition is identical.
+    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 128
+
+    def advance(s, s2):
+        # quality mode: the bucket cap advances one bucket per round; keep
+        # looping while buckets remain even if this round merged nothing.
+        more = s.bucket + 1 < nb
+        return s2._replace(
+            bucket=jnp.minimum(s.bucket + 1, nb - 1),
+            merged=s2.merged | more,
+        )
 
     def gcond(s):
         c = comm.reduce_sum(jnp.sum((s.L == vidg).astype(jnp.int32)))
         return s.merged & ((s.it < gossip_rounds) | (c > gate_c))
 
     def gbody(s):
-        return turbo._ground(
+        return advance(s, turbo._ground(
             s, w8, eid8, vidg, cfg.k, cfg.min_size, "felz", max_sweeps,
-            comm=comm,
-        )
+            tau=thresholds[s.bucket], comm=comm,
+        ))
 
     gst = jax.lax.while_loop(gcond, gbody, gst)
 
@@ -203,7 +227,11 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
     live4 = jnp.isfinite(ew4) & (la != lb) & (lb >= 0)
     lo = jnp.where(live4, jnp.minimum(la, lb), INT32_MAX)
     hi = jnp.where(live4, jnp.maximum(la, lb), INT32_MAX)
-    cap_loc = max(v_loc // 12, 16384)
+    # quality mode hands off at v/32 components with near-pixel-scale
+    # boundaries (the dense path's measured "sponge" finding): mirror its
+    # larger pool caps (dense _extract_stage: v//6 vs v//24).
+    cap_loc = max(v_loc // 3 if cfg.weight_buckets > 0 else v_loc // 12,
+                  16384)
     pm_l, plo_l, phi_l, pw_l, pe_l, ovf_l = turbo._chunked_pair_extract(
         lo, hi, ew4, eid4, cap_loc
     )
@@ -211,13 +239,12 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
     phi_l = jnp.where(pm_l, phi_l, INT32_MAX)
     pw_l = jnp.where(pm_l, pw_l, jnp.inf)
 
-    gather = lambda x: jax.lax.all_gather(x, axis_name, tiled=True)
     g_lo, g_hi, g_w, g_e = (
         gather(plo_l), gather(phi_l), gather(pw_l), gather(pe_l)
     )
     # global flat dedup of the gathered pools (pair minima are exact within
     # tiles; cross-tile duplicates resolve here).
-    pair_cap = max(v // 24, 16384)
+    pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 24, 16384)
     s_lo, s_hi, s_w, s_e = jax.lax.sort((g_lo, g_hi, g_w, g_e), num_keys=4)
     head = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_),
@@ -234,7 +261,7 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
     ew = jnp.concatenate([pw, pw])
     eeid = jnp.concatenate([pe, pe])
 
-    comp_cap = max(v // 96, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
     srt_src = jax.lax.sort(
         (jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),)
     )[0]
@@ -264,8 +291,7 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
         flags=flags0,
     )
     # ---- stage 2: replicated (identical deterministic compute per device).
-    thresholds = jnp.array([jnp.inf], dtype=jnp.float32)
-    st = turbo._s2_stage(st, v, cfg, thresholds, 1)
+    st = turbo._s2_stage(st, v, cfg, thresholds, nb)
 
     # ---- final map: replicated seed, sharded flood.
     vid_full = jnp.arange(v, dtype=jnp.int32).reshape(h_glob, w)
@@ -295,12 +321,10 @@ def segment_turbo_spatial(
     collectives. Returns ((H, W) int32 labels row-sharded, () int flags).
 
     H must be divisible by the mesh axis size. The partition equals
-    single-device `segment_turbo`'s exactly. weight_buckets (quality mode)
-    is not supported on this path."""
-    if cfg.weight_buckets:
-        raise NotImplementedError(
-            "quality mode is dense-path only; use segment_turbo"
-        )
+    single-device `segment_turbo`'s exactly, in both speed mode and quality
+    mode (weight_buckets > 0: thresholds are sampled from the gathered
+    global weight planes with the dense arithmetic, and the bucket ramp /
+    handoff gate / stage-2 schedule mirror models/turbo.py)."""
     h, w = image.shape[0], image.shape[1]
     n_dev = mesh.shape[axis]
     if h % n_dev:

@@ -95,6 +95,26 @@ def test_turbo_spatial_matches_dense():
 
 
 @needs_devices
+def test_turbo_spatial_quality_mode_matches_dense():
+    """Quality mode (weight_buckets) on the shard_map path: the gathered
+    global threshold sample, bucket ramp, and stage-2 schedule must
+    reproduce the dense partition exactly (VERDICT r2 item 9)."""
+    from gseg_tpu.models.turbo import segment_turbo
+    from gseg_tpu.parallel.turbo_spatial import segment_turbo_spatial
+
+    cfg = SegmentationConfig(k=30.0, min_size=10, weight_buckets=16)
+    img = blobs_image(48, 40, 5, 6.0, 3)
+    mesh = spatial_mesh(jax.devices()[:8])
+    labels, flags = segment_turbo_spatial(
+        jnp.asarray(img), cfg, mesh, gossip_rounds=4
+    )
+    assert int(flags) == 0
+    dense = np.asarray(segment_turbo(jnp.asarray(img), cfg,
+                                     gossip_rounds=4))
+    assert np.array_equal(np.asarray(labels), dense)
+
+
+@needs_devices
 def test_turbo_spatial_minsize_and_edgecases():
     from gseg_tpu.models.turbo import segment_turbo
     from gseg_tpu.parallel.turbo_spatial import segment_turbo_spatial
