@@ -55,9 +55,19 @@ import os as _os
 # Steps per pass for the step-only kernels. More steps per pass amortize
 # the per-strip DMA round trips over more compute (pass count ~ diameter/T)
 # at the price of fatter halos (slab = s_rows + 2T: more recompute + VMEM).
-# GSEG_T overrides for on-hardware A/B sweeps.
+# Measured on v5e (blobs, gossip phase): 1080p T=8 94 ms vs T=16 96 ms;
+# 4K T=8 511 ms vs T=16 403 ms vs T=24 463 ms — wide images are pass-
+# count-bound (DMA round trips per pass), small ones halo-bound, so T
+# steps up with width. GSEG_T overrides for A/B sweeps.
 T = int(_os.environ.get("GSEG_T", "8"))
 T_SCAN = 4   # steps per pass when scan closures do the long-range work
+
+
+def _pick_t(w: int) -> int:
+    ov = _os.environ.get("GSEG_T")
+    if ov:
+        return int(ov)
+    return 16 if w >= 2560 else 8
 
 _REV = [4, 5, 6, 7, 0, 1, 2, 3]
 # DIRS8 index permutation under transposition ((dy, dx) -> (dx, dy)).
@@ -575,7 +585,7 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
 
 
 def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
-                     rw_fields, h, w, max_passes, sep_fn=None):
+                     rw_fields, h, w, max_passes, sep_fn=None, t_steps=T):
     """Two-phase fixpoint driver.
 
     Phase 1 — cheap T-step passes in row orientation only (no closures):
@@ -593,7 +603,7 @@ def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
 
     rw1, unconv1, p1 = _step_fixpoint(
         prepare_fn, step_fn, ro_row, rw_fields, h, w,
-        min(max_passes, WARM_PASSES), sep_fn=sep_fn,
+        min(max_passes, WARM_PASSES), t_steps=t_steps, sep_fn=sep_fn,
     )
     st = (unconv1, p1, tuple(rw1))
 
@@ -821,18 +831,19 @@ def compmin_gossip(L, bw, be, sz, max_sweeps, closures=True):
     twins) removes a large share of program compile time. Quality mode
     (thin high-diameter components) keeps the closure safety net."""
     h, w = L.shape
-    max_passes = -(-max_sweeps // T)
+    t = _pick_t(w)
+    max_passes = -(-max_sweeps // t)
     rw = [(bw, jnp.inf), (be, jnp.iinfo(jnp.int32).max), (sz, 0)]
     if not closures:
         (bw, be, sz), unconv, passes = _step_fixpoint(
             _compmin_prepare, _compmin_step, [(L, -1)], rw, h, w,
-            max_passes, sep_fn=_sep(_compmin_sep),
+            max_passes, t_steps=t, sep_fn=_sep(_compmin_sep),
         )
         return bw, be, sz, unconv, passes
     (bw, be, sz), unconv, passes = _hybrid_fixpoint(
         _compmin_prepare, _compmin_step, _compmin_closure,
         [(L, -1)], [(L.T, -1)], rw,
-        h, w, max_passes, sep_fn=_sep(_compmin_sep),
+        h, w, max_passes, sep_fn=_sep(_compmin_sep), t_steps=t,
     )
     return bw, be, sz, unconv, passes
 
@@ -850,13 +861,14 @@ def label_gossip(allow_bits, Lc, idf, dist, max_sweeps):
     boundary-safe by the sentinel pad.
     """
     h, w = Lc.shape
-    max_passes = -(-max_sweeps // T)
+    t = _pick_t(w)
+    max_passes = -(-max_sweeps // t)
     (Lc, idf, dist), unconv, passes = _step_fixpoint(
         _allow_prepare, _label_step,
         [(allow_bits, 0)],
         [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0),
          (dist, jnp.int32(1 << 30))],
-        h, w, max_passes, sep_fn=_sep(_label_sep),
+        h, w, max_passes, t_steps=t, sep_fn=_sep(_label_sep),
     )
     return Lc, idf, dist, unconv, passes
 
@@ -870,18 +882,19 @@ def label_flood(allow_bits, Lc, idf, max_sweeps, closures=True):
     complexity at any component diameter. closures=False: see
     compmin_gossip."""
     h, w = Lc.shape
-    max_passes = -(-max_sweeps // T)
+    t = _pick_t(w)
+    max_passes = -(-max_sweeps // t)
     rw = [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0)]
     if not closures:
         (Lc, idf), unconv, passes = _step_fixpoint(
             _allow_prepare, _labelnd_step, [(allow_bits, 0)], rw, h, w,
-            max_passes, sep_fn=_sep(_labelnd_sep),
+            max_passes, t_steps=t, sep_fn=_sep(_labelnd_sep),
         )
         return Lc, idf, unconv, passes
     (Lc, idf), unconv, passes = _hybrid_fixpoint(
         _allow_prepare, _labelnd_step, _labelnd_closure,
         [(allow_bits, 0)], [(transpose_allow_bits(allow_bits), 0)],
-        rw, h, w, max_passes, sep_fn=_sep(_labelnd_sep),
+        rw, h, w, max_passes, sep_fn=_sep(_labelnd_sep), t_steps=t,
     )
     return Lc, idf, unconv, passes
 
@@ -897,18 +910,19 @@ def value_flood(L, val, max_sweeps, closures=True):
     wavefront is active-area priced while a 4K closure pass-pair is not).
     """
     h, w = L.shape
+    t = _pick_t(w)
     rw = [(val, jnp.iinfo(jnp.int32).max)]
     if not closures:
         (val,), unconv, passes = _step_fixpoint(
             _compmin_prepare, _value_step, [(L, -1)], rw, h, w,
-            -(-max_sweeps // T), sep_fn=_sep(_value_sep),
+            -(-max_sweeps // t), t_steps=t, sep_fn=_sep(_value_sep),
         )
         return val, unconv, passes
     (val,), unconv, passes = _hybrid_fixpoint(
         _compmin_prepare, _value_step, _value_closure,
         [(L, -1)], [(L.T, -1)],
-        rw, h, w, -(-max_sweeps // T),
-        sep_fn=_sep(_value_sep),
+        rw, h, w, -(-max_sweeps // t),
+        sep_fn=_sep(_value_sep), t_steps=t,
     )
     return val, unconv, passes
 
@@ -919,8 +933,9 @@ def subtree_sums(pdir, s, max_sweeps):
     (skip-strips is sound here too: the fixpoint is unique by nilpotency
     and an unchanged-input strip recomputes to the same values)."""
     h, w = pdir.shape
+    t = _pick_t(w)
     (sv,), unconv, _ = _step_fixpoint(
         _subsum_prepare, _subsum_step, [(pdir, 8)], [(s, 0)], h, w,
-        -(-max_sweeps // T),
+        -(-max_sweeps // t), t_steps=t,
     )
     return sv, unconv
