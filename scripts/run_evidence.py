@@ -40,7 +40,7 @@ from gseg_tpu.config import SegmentationConfig
 # turbo-only (the no-2^26-px-cap demonstration); atomic is scatter-bound;
 # hostsync pays ~30 ms/round through the tunnel.
 LADDERS = [
-    ("turbo", [0, 1, 2, 3, 4, 5, 6], {}, "blobs"),
+    ("turbo", [0, 1, 2, 3, 4, 5], {}, "blobs"),
     # photo-like content (de-risks blob-derived capacity/gate tuning):
     # same compiled programs as the blob rows, so the rungs are cheap.
     ("turbo", [0, 2, 4], {}, "textured"),
@@ -48,9 +48,13 @@ LADDERS = [
     ("superpixel", [0, 1, 2, 4], {}, "blobs"),
     ("atomic", [0, 1, 2], {}, "blobs"),
     ("atomic_hostsync", [0], {}, "blobs"),
-    # LAST: quality-mode programs compile for ~1 h each (both sizes-scheme
-    # branches + 16-bucket machinery) — must not starve the cheap ladders.
+    # LAST: the expensive compiles — quality-mode programs (~1 h each: both
+    # sizes-scheme branches + 16-bucket machinery) and the 8K rung (the
+    # full-pipeline XLA+Mosaic compile at 33 MPix is multi-hour cold) —
+    # must not starve the cheap ladders. Per-rung checkpointing means a
+    # killed campaign keeps everything already measured.
     ("turbo_wb16", [0, 2], {"weight_buckets": 16}, "blobs"),
+    ("turbo", [6], {}, "blobs"),
 ]
 
 QUALITY_ALGOS = [
