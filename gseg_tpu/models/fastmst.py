@@ -112,11 +112,16 @@ def _extract_compact(gst, weights, v: int):
     """Dense planes -> deduped compact edge list + root list + stats.
 
     Same construction as turbo's extract stage, at the larger capacities the
-    single-round handoff needs (components <= ~V/2 after round 1, vs V/128
-    after turbo's gossip gate)."""
+    single-round handoff needs. MEASURED on ladder content (k=300,
+    min_size=100, 540p/1080p, blobs AND textured): round-1 components
+    average 3.4 px (comps = 0.29 V), distinct component pairs = 1.05-1.10 V
+    — the earlier V/2 pair cap and V/4 comp cap both overflowed on every
+    ladder rung. 1.25 V / V/2 hold the measured worst with headroom; the
+    cost of the fat entry list is contained by recompacting after the
+    first compact round (see segment_fastmst_impl)."""
     h, w = gst.L.shape
-    pair_cap = max(v // 2, 16384)
-    comp_cap = max(v // 4, 16384)
+    pair_cap = max(v + v // 4, 16384)
+    comp_cap = max(v // 2, 16384)
 
     ew4 = jnp.stack([weights[d] for d in range(4)], axis=-1).reshape(-1)
     la = jnp.stack([gst.L] * 4, axis=-1).reshape(-1)
@@ -174,16 +179,24 @@ def segment_fastmst_impl(image: jnp.ndarray, cfg: SegmentationConfig):
     gst, weights = _round1_dense(image, cfg)
     st, rm, r0 = _extract_compact(gst, weights, v)
 
-    comp_cap = max(v // 4, 16384)
+    comp_cap = max(v // 2, 16384)
     thresholds = jnp.array([jnp.inf], dtype=jnp.float32)
-    # two rounds at entry capacity, recompact 4x smaller, then run out.
+    # staged cap shrinking (live pairs decay 3-4x per round, measured):
+    # one round at the 2.5V-directed entry list, recompact to V; two more
+    # rounds, recompact to V/4; run out. Keeps the fat entry capacity the
+    # overflow data demands while only round 2 pays full-list sort cost.
+    st = turbo._s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, 1,
+                         thresholds, 1, with_minsize=False,
+                         flag_exhaustion=False, canonical=False)
+    st, rec_ovf = turbo._recompact_edges(st, max(v, 16384))
     st = turbo._s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, 2,
                          thresholds, 1, with_minsize=False,
                          flag_exhaustion=False, canonical=False)
-    st, rec_ovf = turbo._recompact_edges(st, max(v // 8, 16384))
+    st, rec2_ovf = turbo._recompact_edges(st, max(v // 4, 16384))
     st = st._replace(
         flags=st.flags | jnp.where(
-            rec_ovf, jnp.int32(turbo.FLAG_RECOMPACT_OVERFLOW), jnp.int32(0))
+            rec_ovf | rec2_ovf,
+            jnp.int32(turbo.FLAG_RECOMPACT_OVERFLOW), jnp.int32(0))
     )
     st = turbo._s2_phase(st, v, comp_cap, cfg.k, cfg.min_size,
                          2 * cfg.max_iters, thresholds, 1,
@@ -242,18 +255,27 @@ def segment_fastmst_hierarchy_impl(image: jnp.ndarray,
     gst, weights = _round1_dense(image, cfg)
     st, rm, r0 = _extract_compact(gst, weights, v)
 
-    comp_cap = max(v // 4, 16384)
+    comp_cap = max(v // 2, 16384)
     thresholds = jnp.array([jnp.inf], dtype=jnp.float32)
     fins0 = jnp.zeros((n_levels, st.fin.shape[0]), jnp.int32)
+    # same staged cap shrinking as segment_fastmst_impl (measured ladder
+    # pair densities; see _extract_compact).
     st, fins, s2_count = turbo._s2_phase_capture(
-        st, v, comp_cap, cfg.k, cfg.min_size, 2, thresholds, 1,
+        st, v, comp_cap, cfg.k, cfg.min_size, 1, thresholds, 1,
         False, fins0, jnp.int32(0), flag_exhaustion=False,
         canonical=False,
     )
-    st, rec_ovf = turbo._recompact_edges(st, max(v // 8, 16384))
+    st, rec_ovf = turbo._recompact_edges(st, max(v, 16384))
+    st, fins, s2_count = turbo._s2_phase_capture(
+        st, v, comp_cap, cfg.k, cfg.min_size, 2, thresholds, 1,
+        False, fins, s2_count, flag_exhaustion=False,
+        canonical=False,
+    )
+    st, rec2_ovf = turbo._recompact_edges(st, max(v // 4, 16384))
     st = st._replace(
         flags=st.flags | jnp.where(
-            rec_ovf, jnp.int32(turbo.FLAG_RECOMPACT_OVERFLOW), jnp.int32(0))
+            rec_ovf | rec2_ovf,
+            jnp.int32(turbo.FLAG_RECOMPACT_OVERFLOW), jnp.int32(0))
     )
     st, fins, s2_count = turbo._s2_phase_capture(
         st, v, comp_cap, cfg.k, cfg.min_size, 2 * cfg.max_iters,

@@ -105,7 +105,9 @@ def _extract_compact(L1, strength, v: int):
     Dedup keeps the min-(strength, eid) edge per unordered pair — exactly
     the edge that realizes the pair's min weight in every future round."""
     h, w = L1.shape
-    pair_cap = max(v, 16384)
+    # 1.25 V: measured distinct pairs after an all-hook round-1 on ladder
+    # content are 1.05-1.10 V (see models/fastmst.py _extract_compact).
+    pair_cap = max(v + v // 4, 16384)
     comp_cap = max(v // 2, 16384)
 
     st4 = jnp.stack([strength[d] for d in range(4)], axis=-1).reshape(-1)
