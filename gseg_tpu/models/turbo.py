@@ -70,7 +70,13 @@ BIGDIST = 1 << 30
 
 def _use_pallas() -> bool:
     """Multi-step Pallas sweep kernels on real TPUs; XLA sweeps elsewhere
-    (CPU CI, interpret-less environments). Same fixpoints either way."""
+    (CPU CI, interpret-less environments). Same fixpoints either way.
+    GSEG_PALLAS=0 forces the XLA sweeps on TPU too (debug escape hatch /
+    A-B oracle comparisons on hardware)."""
+    import os
+
+    if os.environ.get("GSEG_PALLAS") == "0":
+        return False
     return jax.default_backend() == "tpu"
 
 

@@ -171,6 +171,30 @@ def _col_ok(dx, rows, wp):
     return jnp.ones((rows, wp), jnp.bool_)
 
 
+def _row_ok(dy, rows, wp):
+    """Mask off reads that wrap around the SLAB rows (pltpu.roll is
+    circular). Column wraps are blocked by _col_ok / the globally-built
+    allow bits, but slab-row edges are STRIP boundaries mid-image, where
+    up/down adjacency is legitimately allowed — an unmasked wrap there
+    reads a row ~s_rows away, and the chained 8-direction step moves the
+    bogus value up to 3 rows per step, beating the t-row halo into the
+    interior (root cause of the round-3 stable-but-wrong fixpoints: one
+    leaked min label through a forbidden edge can never revert)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0)
+    if dy == 1:
+        return row < rows - 1
+    if dy == -1:
+        return row > 0
+    return jnp.ones((rows, wp), jnp.bool_)
+
+
+def _dir_ok(dy, dx, rows, wp):
+    ok = _col_ok(dx, rows, wp)
+    if dy:
+        ok = ok & _row_ok(dy, rows, wp)
+    return ok
+
+
 def _seg_closure(reach_lo, reach_hi, combine, fields, n, axis):
     """Bidirectional segmented interval closure along `axis`.
 
@@ -374,6 +398,17 @@ def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
     def slot_of(o, j):
         return o % 2 if j < n_ro else o % 3
 
+    # GSEG_NO_PATCH=1 (debug): full-Jacobi halos — rw top halos always
+    # DMA'd from the input buffer, no VMEM patch. Only sound together with
+    # GSEG_NO_ALIAS=1 + GSEG_NO_SKIP=1 (input buffer = previous pass).
+    no_patch = _os.environ.get("GSEG_NO_PATCH") == "1"
+    # GSEG_SYNC=1 (debug): no prefetch, every DMA started and waited by the
+    # strip that needs it; out-DMA waited in the issuing epilogue. Implies
+    # the no-patch halo sourcing; requires NO_ALIAS + NO_SKIP like it.
+    sync = _os.environ.get("GSEG_SYNC") == "1"
+    if sync:
+        no_patch = True
+
     def kernel(act_ref, ord_ref, prv_ref, prv2_ref, nxt_ref, *refs):
         in_refs = refs[:nf]
         out_refs = refs[nf : nf + n_rw]
@@ -417,12 +452,18 @@ def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
             n1 = nxt_ref[i]
             first = p1 < 0
 
-            # 1. first active strip: nobody prefetched for us — self-start.
-            @pl.when(first)
-            def _():
+            if sync:
+                # fully synchronous: self-start everything, every strip.
                 for j in range(nf):
                     body_dma(i, j, slot_of(o, j)).start()
                     halo_dma(i, j, slot_of(o, j)).start()
+            else:
+                # 1. first active strip: nobody prefetched — self-start.
+                @pl.when(first)
+                def _():
+                    for j in range(nf):
+                        body_dma(i, j, slot_of(o, j)).start()
+                        halo_dma(i, j, slot_of(o, j)).start()
 
             # 2. wait own input slab. rw halos were VMEM-patched (no DMA)
             # iff an adjacent active predecessor prefetched us.
@@ -431,12 +472,15 @@ def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
             for j in range(n_ro):
                 halo_dma(i, j, slot_of(o, j)).wait()
             for j in range(n_ro, nf):
-                @pl.when(first | (p1 != i - 1))
-                def _(j=j):
+                if no_patch:
                     halo_dma(i, j, slot_of(o, j)).wait()
+                else:
+                    @pl.when(first | (p1 != i - 1))
+                    def _(j=j):
+                        halo_dma(i, j, slot_of(o, j)).wait()
 
             # 3. prefetch the next active strip before computing.
-            @pl.when(n1 < nstrips)
+            @pl.when(jnp.bool_(not sync) & (n1 < nstrips))
             def _():
                 # rw target slot (o+1)%3 still has ordinal o-2's out-DMA.
                 @pl.when(pp >= 0)
@@ -449,10 +493,14 @@ def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
                     halo_dma(n1, j, slot_of(o + 1, j)).start()
                 # adjacent rw halos come from this strip's fresh interior
                 # (VMEM patch in the epilogue), never from HBM.
-                @pl.when(n1 > i + 1)
-                def _():
+                if no_patch:
                     for j in range(n_ro, nf):
                         halo_dma(n1, j, slot_of(o + 1, j)).start()
+                else:
+                    @pl.when(n1 > i + 1)
+                    def _():
+                        for j in range(n_ro, nf):
+                            halo_dma(n1, j, slot_of(o + 1, j)).start()
 
             # 4. compute t in-VMEM steps on this slot.
             ro = [scratch[j][slot_of(o, j)] for j in range(n_ro)]
@@ -488,16 +536,19 @@ def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
                 )
                 scratch[n_ro + j][slot, t : t + s_rows, :] = new
                 out_dma(i, j, slot).start()
+                if sync:
+                    out_dma(i, j, slot).wait()
 
-                @pl.when((n1 < nstrips) & (n1 == i + 1))
-                def _(j=j, slot=slot):
-                    scratch[n_ro + j][
-                        slot_of(o + 1, n_ro + j), 0:t, :
-                    ] = scratch[n_ro + j][slot, s_rows : s_rows + t, :]
+                if not no_patch:
+                    @pl.when((n1 < nstrips) & (n1 == i + 1))
+                    def _(j=j, slot=slot):
+                        scratch[n_ro + j][
+                            slot_of(o + 1, n_ro + j), 0:t, :
+                        ] = scratch[n_ro + j][slot, s_rows : s_rows + t, :]
             ch_ref[i] = changed
 
             # 6. last active strip: drain every outstanding out-DMA.
-            @pl.when(n1 >= nstrips)
+            @pl.when(jnp.bool_(not sync) & (n1 >= nstrips))
             def _():
                 for j in range(n_rw):
                     out_dma(i, j, o % 3).wait()
@@ -531,12 +582,18 @@ def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
             pltpu.SemaphoreType.DMA((3, nf)),
             pltpu.SemaphoreType.DMA((3, n_rw)),
         ],
-        input_output_aliases={5 + n_ro + j: j for j in range(n_rw)},
+        input_output_aliases=(
+            {} if _os.environ.get("GSEG_NO_ALIAS") == "1"
+            else {5 + n_ro + j: j for j in range(n_rw)}
+        ),  # GSEG_NO_ALIAS=1 (debug): fresh outputs — only valid with
+        # GSEG_NO_SKIP=1 (skipped strips' rows are never written)
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=SKIP_VMEM_LIMIT,
         ),
-    )(act, ord_, prv, prv2, nxt, *ro_pad, *rw_pad)
+    )(*jax.lax.optimization_barrier(
+        (act, ord_, prv, prv2, nxt, *ro_pad, *rw_pad)
+    ))
     return list(outs[:n_rw]), outs[n_rw]
 
 
@@ -568,8 +625,13 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
         act, it = st[0], st[1]
         return (jnp.max(act) > 0) & (it < max_passes)
 
+    no_skip = _os.environ.get("GSEG_NO_SKIP") == "1"  # debug: all strips
+    # active every pass (isolates skip-gating from DMA pipelining)
+
     def body(st):
         act, it, rw = st
+        if no_skip:
+            act = jnp.ones_like(act)
         rw, ch = _strip_call_skip(
             prepare_fn, step_fn, ro_pad, list(rw), fills, act,
             h, w, s_rows, t_steps, sep_fn=sep_fn,
@@ -636,12 +698,12 @@ def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
 
 def _same_bits(L, rows, wp):
     """Per-pixel bitmask: bit d set iff the dir-d neighbor has the same
-    label (and is in-bounds column-wise). Computed once per pass — L is
-    constant across the in-VMEM iterations."""
+    label (and the read does not wrap a slab edge — see _row_ok). Computed
+    once per pass — L is constant across the in-VMEM iterations."""
     bits = jnp.zeros(L.shape, jnp.int32)
     for d, (dy, dx) in enumerate(gg.DIRS8):
         nL = _nbr(L, dy, dx, rows, wp)
-        ok = (nL == L) & _col_ok(dx, rows, wp)
+        ok = (nL == L) & _dir_ok(dy, dx, rows, wp)
         bits = bits | (ok.astype(jnp.int32) << d)
     return bits
 
@@ -702,7 +764,10 @@ def _label_step(pre, rw, rows, wp, dirs=tuple(range(8))):
     big = jnp.int32(1 << 30)
     for d in dirs:
         dy, dx = gg.DIRS8[d]
-        ok = ((allow >> d) & 1) > 0
+        # the allow bits block image-boundary and pad columns globally,
+        # but NOT slab-row wraps (strip boundaries are mid-image) — mask
+        # the circular-roll rows explicitly (see _row_ok).
+        ok = (((allow >> d) & 1) > 0) & _row_ok(dy, rows, wp)
         nL = _nbr(Lc, dy, dx, rows, wp)
         nid = _nbr(idf, dy, dx, rows, wp)
         nd = _nbr(dist, dy, dx, rows, wp)
@@ -725,7 +790,8 @@ def _labelnd_step(pre, rw, rows, wp, dirs=tuple(range(8))):
     Lc, idf = rw
     for d in dirs:
         dy, dx = gg.DIRS8[d]
-        ok = ((allow >> d) & 1) > 0
+        # see _label_step: slab-row wraps must be masked explicitly.
+        ok = (((allow >> d) & 1) > 0) & _row_ok(dy, rows, wp)
         nL = _nbr(Lc, dy, dx, rows, wp)
         nid = _nbr(idf, dy, dx, rows, wp)
         adopt = ok & (nL < Lc)
@@ -782,7 +848,7 @@ def _subsum_prepare(ro, rows, wp):
     child = jnp.zeros(pdir.shape, jnp.int32)
     for d, (dy, dx) in enumerate(gg.DIRS8):
         np_ = _nbr(pdir, dy, dx, rows, wp)
-        ok = (np_ == _REV[d]) & _col_ok(dx, rows, wp)
+        ok = (np_ == _REV[d]) & _dir_ok(dy, dx, rows, wp)
         child = child | (ok.astype(jnp.int32) << d)
     return (child,)
 

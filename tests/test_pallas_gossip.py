@@ -115,6 +115,56 @@ def test_label_flood_nodist_matches_xla(shape, closures):
     assert np.array_equal(np.asarray(rI), np.asarray(gI))
 
 
+def test_multistrip_wrap_leak_regression():
+    """Regression for the round-3 slab-row-wrap bug: pltpu.roll is circular
+    over the SLAB rows, and the chained 8-direction step moves values up to
+    3 rows per step — an unmasked wrap read at a strip edge (mid-image,
+    where vertical adjacency is legitimately allowed) leaked a smaller
+    label through a forbidden edge, producing a stable-but-wrong fixpoint
+    with clean flags. Trigger needs h > strip height (72) with thin
+    horizontal components so the wrapped row belongs to a different
+    component: every prior CI shape was single-strip (max h=64)."""
+    import gseg_tpu.ops.grid_graph as gg
+
+    h, w = 160, 140  # >= 2 strips at the 72-row floor
+    rng = np.random.default_rng(7)
+    # Components = 3-wide column stripes split horizontally at row 100:
+    # TALL (so a leaked value propagates down into the strip interior
+    # through dense vertical allow bits) yet DISJOINT across the ~s_rows
+    # wrap distance (so the wrapped read at a strip's top slab row lands in
+    # the OTHER component). Initial labels strictly DECREASE with depth —
+    # every wrapped read offers a smaller label, a deterministic leak on
+    # unmasked wraps (the leaked min persists: min-floods never revert).
+    comp = (np.arange(w)[None, :] // 3) * 2 + (np.arange(h)[:, None] >= 100)
+    L = jnp.asarray(np.broadcast_to(comp, (h, w)).astype(np.int32))
+    idf = jnp.asarray(rng.uniform(0, 5, (h, w)).astype(np.float32))
+    Lc0 = jnp.asarray(
+        ((h - np.arange(h))[:, None] * 1000
+         + np.arange(w)[None, :]).astype(np.int32))
+    ms = 4 * (h + w)
+    nbrL = jnp.stack([gg.shift_plane(L, dy, dx, -1) for dy, dx in gg.DIRS8])
+    allow8 = jnp.stack([nbrL[d] == L for d in range(8)])
+    allow_l = [allow8[d] for d in range(8)]
+
+    rL, rI, _ = turbo._label_gossip_nd(Lc0, allow_l, idf, ms)
+    with pltpu.force_tpu_interpret_mode():
+        gL, gI, _, _ = pg.label_flood(
+            pg.pack_allow_bits(allow_l), Lc0, idf, ms, closures=False
+        )
+    assert np.array_equal(np.asarray(rL), np.asarray(gL))
+    assert np.array_equal(np.asarray(rI), np.asarray(gI))
+
+    # same hazard class for the in-slab same-bits kernels (compmin).
+    bw = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    be = jnp.asarray(rng.integers(0, 10_000, (h, w)).astype(np.int32))
+    sz = jnp.asarray(rng.integers(1, 9, (h, w)).astype(np.int32))
+    ref = turbo._compmin_gossip(L, bw, be, sz, ms)
+    with pltpu.force_tpu_interpret_mode():
+        got = pg.compmin_gossip(L, bw, be, sz, ms, closures=False)
+    for r, g in zip(ref, got):
+        assert np.array_equal(np.asarray(r), np.asarray(g))
+
+
 def _canonicalize(L2d):
     """Connected-component relabel to min flat vertex id (NumPy BFS)."""
     h, w = L2d.shape
