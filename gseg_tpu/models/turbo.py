@@ -829,8 +829,10 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
         gst = jax.lax.while_loop(pcond, pbody, gst)
         # the bucket ramp merges slowly by design: after two rounds the
         # component count can still be ~V/3, so the root list needs
-        # pixel-scale capacity (the slow-but-exact path).
-        rcap = max(v // 2, 16384)
+        # pixel-scale capacity (the slow-but-exact path). Below 1 MPix the
+        # full-V list is cheap and cannot overflow (tight-k configs on the
+        # 161x241 quality set exceeded V/2 live roots and fell back).
+        rcap = v if v <= 1 << 20 else max(v // 2, 16384)
         rlist, rovf = _build_rlist(gst.L, rcap)
         gst = gst._replace(
             flags=gst.flags
@@ -1058,7 +1060,12 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
 def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
               nb: int) -> CompactState:
     """All stage-2 compact rounds: 2 warmup rounds, recompact, main phase."""
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
+    # below 1 MPix the full-V head capacity is cheap and removes the
+    # tight-k overflow->fallback path (quality-set finding: heads exceeded
+    # the 16384 floor when the bucket ramp exits with many components).
+    comp_cap = (v if v <= 1 << 20
+                else max(v // 24 if cfg.weight_buckets > 0 else v // 96,
+                         16384))
     # NOTE: live head/pair counts do NOT shrink with felz convergence
     # (non-merging components keep live boundary edges and stay heads every
     # round), so the component capacity must hold the stage-entry bound
@@ -1218,7 +1225,7 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
         return s, levels.at[jnp.minimum(it0, n_levels - 1)].set(s.L)
 
     gst, levels = jax.lax.while_loop(pcond, pbody, (gst, levels))
-    rcap = max(v // 2, 16384)
+    rcap = v if v <= 1 << 20 else max(v // 2, 16384)
     rlist, rovf = _build_rlist(gst.L, rcap)
     gst = gst._replace(
         flags=gst.flags
@@ -1312,7 +1319,9 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
     g_count = jnp.minimum(gst.it, n_levels)
     st, rm, r0 = _extract_stage(gst, weights, cfg)
 
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
+    comp_cap = (v if v <= 1 << 20
+                else max(v // 24 if cfg.weight_buckets > 0 else v // 96,
+                         16384))
     s2_iters = 2 * cfg.max_iters + nb
     fins0 = jnp.zeros((n_levels, st.fin.shape[0]), jnp.int32)
     warm_rounds = 2 if cfg.weight_buckets > 0 else 1
