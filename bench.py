@@ -23,6 +23,20 @@ import numpy as np
 
 
 def main() -> None:
+    import signal
+
+    def _dead_backend(_sig, _frm):
+        raise SystemExit(
+            "bench.py: no result within 30 min — TPU backend/tunnel "
+            "unreachable or compile stuck; failing fast instead of "
+            "hanging the driver."
+        )
+
+    # The axon tunnel can go down; a plain `import jax` + first device op
+    # then blocks forever (measured during round 3). Fail fast instead.
+    signal.signal(signal.SIGALRM, _dead_backend)
+    signal.alarm(1800)
+
     import jax
 
     from gseg_tpu.utils.jaxcache import enable_persistent_cache
@@ -57,6 +71,9 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     mean_s = max(float(np.mean(times)) - 0.030, 1e-6)
 
+    import signal
+
+    signal.alarm(0)
     mpix = (h * w) / 1e6
     mpix_per_s = mpix / mean_s
     baseline_mpix_per_s = mpix / 0.0513  # reference atomic total @1080p
