@@ -52,6 +52,7 @@ partition-equal.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -1057,6 +1058,20 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     return st, rm, r0
 
 
+def _slice_pool(st: CompactState, pair_cap: int, cs: int) -> CompactState:
+    """Slice the two-orientation edge pool down to `cs` pairs per half.
+
+    The pool is `concat([plo, phi], [phi, plo])` with each half
+    front-compacted by extraction's `_select_compact`, so when the live
+    pair count is <= cs, slots [0, cs) of each half hold every live entry.
+    """
+    def take(x):
+        return jnp.concatenate([x[:cs], x[pair_cap:pair_cap + cs]])
+
+    return st._replace(esrc=take(st.esrc), edst=take(st.edst),
+                       ew=take(st.ew), eeid=take(st.eeid))
+
+
 def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
               nb: int) -> CompactState:
     """All stage-2 compact rounds: 2 warmup rounds, recompact, main phase."""
@@ -1073,38 +1088,77 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     # monotonically under merges, so one recompact after the first rounds
     # is safe with 2x headroom.
     s2_iters = 2 * cfg.max_iters + nb
+    quality = cfg.weight_buckets > 0
     # one warmup round shrinks live pairs ~4x (quality mode merges slower
     # under the bucket ramp: keep two rounds and a larger recompact cap).
-    warm_rounds = 2 if cfg.weight_buckets > 0 else 1
-    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, warm_rounds,
-                   thresholds, nb, with_minsize=False, flag_exhaustion=False)
-    st, rec_ovf = _recompact_edges(
-        st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
-    )
-    st = st._replace(
-        flags=st.flags
-        | jnp.where(rec_ovf, jnp.int32(FLAG_RECOMPACT_OVERFLOW), jnp.int32(0))
-    )
-    if cfg.weight_buckets > 0:
+    warm_rounds = 2 if quality else 1
+    rec1_cap = max(v // 16 if quality else v // 64, 16384)
+
+    def early(s: CompactState) -> CompactState:
+        """Warm round(s) + recompact (+ speed mode: 2 rounds, prune, second
+        recompact). Shape-polymorphic in the edge capacity: round cost is
+        CAPACITY-priced (sorts ~2 ns/elem/operand, M[esrc] gathers
+        ~7 ns/idx at pool size), so the small-pool branch below runs this
+        same program several times cheaper."""
+        s = _s2_phase(s, v, comp_cap, cfg.k, cfg.min_size, warm_rounds,
+                      thresholds, nb, with_minsize=False,
+                      flag_exhaustion=False)
+        s, rec_ovf = _recompact_edges(s, rec1_cap)
+        s = s._replace(
+            flags=s.flags
+            | jnp.where(rec_ovf, jnp.int32(FLAG_RECOMPACT_OVERFLOW),
+                        jnp.int32(0))
+        )
+        if quality:
+            return s
+        # Speed mode: live edges/heads decay ~3-4x per round (measured
+        # @1080p, blobs: 39.6k -> 25k -> 10.8k -> 2.7k directed edges,
+        # 6.4k -> 1.4k -> 238 -> 44 heads; textured: 50k -> 31.6k -> 17.3k
+        # -> 8.6k edges) while round cost is gather/scatter-bound at
+        # CAPACITY. Two rounds at the recompacted cap, then prune provably-
+        # dead edges and recompact to much smaller buffers for the
+        # remaining rounds. The v/128 edge cap holds ~2x the worst measured
+        # content at this point; low-k configs (many frozen-but-adjacent
+        # final components) fit because of the prune.
+        s = _s2_phase(s, v, comp_cap, cfg.k, cfg.min_size, 2,
+                      thresholds, nb, with_minsize=False,
+                      flag_exhaustion=False)
+        s = _prune_dead(s, v, cfg.k, cfg.min_size)
+        s, rec2_ovf = _recompact_edges(s, max(v // 128, 8192))
+        return s._replace(
+            flags=s.flags
+            | jnp.where(rec2_ovf, jnp.int32(FLAG_RECOMPACT_OVERFLOW),
+                        jnp.int32(0))
+        )
+
+    # ---- live-count small path: the pool capacity covers worst-case
+    # (sponge-boundary) content, but bench/quality content runs ~5-10x
+    # below it (live pairs ~V/104 blobs, ~V/82 textured @1080p vs the
+    # V/24 speed pool). When every live pair fits a much smaller slice,
+    # run the SAME early rounds on the sliced pool — identical results
+    # (dead slots beyond the slice carry no information), at slice-sized
+    # cost. Worst-case content takes the full-capacity branch instead; no
+    # flags involved. GSEG_S2_SMALL=0 disables; *_DIV tunes the slice.
+    pair_cap = st.esrc.shape[0] // 2
+    small_on = os.environ.get("GSEG_S2_SMALL", "1") == "1"
+    div = int(os.environ.get(
+        "GSEG_S2_SMALL_DIV", "24" if quality else "64"))
+    # cs >= rec1_cap/2 keeps the recompact slice full-length (the sliced
+    # pool holds 2*cs entries, and _pair_dedup slices [:rec1_cap]).
+    cs = max(v // div, rec1_cap // 2)
+    if small_on and cs < pair_cap:
+        live = jnp.sum(jnp.isfinite(st.ew[:pair_cap]).astype(jnp.int32))
+        st = jax.lax.cond(
+            live <= cs,
+            lambda s: early(_slice_pool(s, pair_cap, cs)),
+            early, st,
+        )
+    else:
+        st = early(st)
+
+    if quality:
         return _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, s2_iters,
                          thresholds, nb, with_minsize=cfg.min_size > 1)
-    # Speed mode: live edges/heads decay ~3-4x per round (measured @1080p,
-    # blobs: 39.6k -> 25k -> 10.8k -> 2.7k directed edges, 6.4k -> 1.4k ->
-    # 238 -> 44 heads; textured: 50k -> 31.6k -> 17.3k -> 8.6k edges)
-    # while round cost is gather/scatter-bound at CAPACITY. Two rounds at
-    # full caps, then prune provably-dead edges and recompact to much
-    # smaller buffers for the remaining rounds. The v/128 edge cap holds
-    # ~2x the worst measured content at this point; low-k configs (many
-    # frozen-but-adjacent final components) fit because of the prune.
-    st = _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, 2,
-                   thresholds, nb, with_minsize=False, flag_exhaustion=False)
-    st = _prune_dead(st, v, cfg.k, cfg.min_size)
-    st, rec2_ovf = _recompact_edges(st, max(v // 128, 8192))
-    st = st._replace(
-        flags=st.flags
-        | jnp.where(rec2_ovf, jnp.int32(FLAG_RECOMPACT_OVERFLOW),
-                    jnp.int32(0))
-    )
     comp_cap2 = max(v // 1024, 4096)
     return _s2_phase(st, v, comp_cap2, cfg.k, cfg.min_size, s2_iters,
                      thresholds, nb, with_minsize=cfg.min_size > 1)

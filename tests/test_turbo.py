@@ -280,3 +280,24 @@ def test_rlist_sizes_exact():
     live = np.asarray(rlist_new)
     live = np.sort(live[live != np.iinfo(np.int32).max])
     assert np.array_equal(live, np.unique(Lnew_np))
+
+
+def test_s2_small_path_matches_full_pool(monkeypatch):
+    """The live-count small path (sliced early-round pool) must produce the
+    identical partition as the full-capacity branch: dead slots beyond the
+    slice carry no information, so slicing is result-invariant. Guards the
+    lax.cond routing in _s2_stage."""
+    import jax
+
+    cfg = SegmentationConfig(k=100.0, min_size=8)
+    img = blobs_image(40, 48, 6, 6.0, 7)
+    outs = {}
+    for sm in ("1", "0"):
+        monkeypatch.setenv("GSEG_S2_SMALL", sm)
+        jax.clear_caches()  # env is read at trace time
+        outs[sm] = np.asarray(segment_turbo(jnp.asarray(img), cfg))
+    monkeypatch.undo()
+    jax.clear_caches()
+    expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
+    assert np.array_equal(outs["1"], outs["0"])
+    assert np.array_equal(outs["1"], expected)
