@@ -774,6 +774,39 @@ def _prune_dead(st: CompactState, v, k, min_size):
 # ---------------------------------------------------------------------------
 
 
+_RLIST_FLOOR = 16384  # min sliced root-list capacity (tests shrink it)
+
+
+def _rlist_loop(gcond, gbody, gst, rlist, vid, rcap2):
+    """Run the rlist-sized gossip rounds as two while_loops: full root-list
+    capacity while the live root count exceeds `rcap2`, then a one-time
+    sort-recompact of the list and the remaining rounds on the `rcap2`
+    slice. `_rlist_sizes` cost is CAPACITY-priced (pool gathers/scatter at
+    ~7 ns/slot + a pool sort per round), while live roots decay ~4x per
+    round — the split makes the later rounds' pool machinery track the
+    actual component count. Round semantics are phase-invariant: slicing
+    is lossless once every live root fits the slice, and the component
+    count only decreases, so the two-loop sequence executes exactly the
+    rounds the single loop would. GSEG_RLIST_SPLIT=0 disables.
+    """
+    rcap = rlist.shape[0]
+    if os.environ.get("GSEG_RLIST_SPLIT", "1") != "1" or rcap2 >= rcap:
+        return jax.lax.while_loop(gcond, gbody, (gst, rlist))
+
+    def cond1(c):
+        cnt = jnp.sum((c[0].L == vid).astype(jnp.int32))
+        return gcond(c) & (cnt > rcap2)
+
+    gst, rlist = jax.lax.while_loop(cond1, gbody, (gst, rlist))
+    # The list is sorted-unique but NOT front-compacted (dead slots stay
+    # interleaved where merged roots used to sit): one pool sort moves the
+    # INT32_MAX dead slots to the tail, then the slice holds every live
+    # root (cond1's exit guarantees live <= rcap2 whenever another round
+    # will run; if gcond is already false, loop 2 never reads the slice).
+    rlist2 = jax.lax.sort((rlist,))[0][:rcap2]
+    return jax.lax.while_loop(gcond, gbody, (gst, rlist2))
+
+
 def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
     """Smoothing + implicit graph + gossip rounds; returns (state, weights)."""
     h, w = image.shape[0], image.shape[1]
@@ -852,7 +885,8 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
                               rlist=rl, sizes="rlist")
             return advance(s, s2), rl2
 
-        gst, _ = jax.lax.while_loop(gcond, gbody, (gst, rlist))
+        gst, _ = _rlist_loop(gcond, gbody, gst, rlist, vid,
+                             max(v // 16, _RLIST_FLOOR))
         return gst, weights, thresholds
 
     # PLAIN MODE. Diameters grow ~geometrically per round, and with them
@@ -901,7 +935,8 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
                           sizes="rlist", closures=False)
         return advance(s, s2), rl2
 
-    gst, _ = jax.lax.while_loop(gcond2, gbody2, (gst, rlist))
+    gst, _ = _rlist_loop(gcond2, gbody2, gst, rlist, vid,
+                         max(v // 32, _RLIST_FLOOR))
     return gst, weights, thresholds
 
 

@@ -301,3 +301,29 @@ def test_s2_small_path_matches_full_pool(monkeypatch):
     expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
     assert np.array_equal(outs["1"], outs["0"])
     assert np.array_equal(outs["1"], expected)
+
+
+def test_rlist_split_loop_matches_single_loop(monkeypatch):
+    """The two-phase rlist gossip loop (full cap, then sliced once live
+    roots fit) must execute exactly the rounds the single loop would —
+    slicing the sorted root list is lossless once every live root fits.
+    Shrink the slice floor so tiny images exercise the split, in both
+    speed and quality modes."""
+    import jax
+
+    from gseg_tpu.models import turbo as T
+
+    for cfg in (SegmentationConfig(k=100.0, min_size=8),
+                SegmentationConfig(k=30.0, min_size=10, weight_buckets=8)):
+        img = blobs_image(48, 56, 6, 6.0, 9)
+        expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
+        outs = {}
+        for split, floor in (("1", 64), ("0", 16384)):
+            monkeypatch.setenv("GSEG_RLIST_SPLIT", split)
+            monkeypatch.setattr(T, "_RLIST_FLOOR", floor)
+            jax.clear_caches()
+            outs[split] = np.asarray(segment_turbo(jnp.asarray(img), cfg))
+        monkeypatch.undo()
+        jax.clear_caches()
+        assert np.array_equal(outs["1"], outs["0"])
+        assert np.array_equal(outs["1"], expected)
