@@ -369,7 +369,7 @@ def _subtree_sizes(L, dist, max_sweeps, comm=_DENSE_COMM):
     if _use_pallas() and comm.dense:
         from ..ops.pallas import gossip as pg
 
-        s, sub_unconv = pg.subtree_sums(pdir, s0, max_sweeps)
+        s, sub_unconv = pg.subtree_sums(pdir, s0, max_sweeps, phase="peel")
         return s, sub_unconv
 
     rev = [4, 5, 6, 7, 0, 1, 2, 3]  # reverse direction index
@@ -410,9 +410,9 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
     if _use_pallas() and comm.dense:
         from ..ops.pallas import gossip as pg
 
-        cw, ce, SZ, unconv, _ = pg.compmin_gossip(L, vminw, veid, S,
-                                                   max_sweeps,
-                                                   closures=closures)
+        cw, ce, SZ, unconv, _ = pg.compmin_gossip(
+            L, vminw, veid, S, max_sweeps, closures=closures,
+            phase="late" if sizes == "rlist" else "peel")
     else:
         cw, ce, SZ, unconv = _compmin_gossip(
             L, vminw, veid, S, max_sweeps, comm
@@ -461,6 +461,7 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
             Lnew, IDnew, lab_unconv, _ = pg.label_flood(
                 pg.pack_allow_bits(allow), L, id_init, max_sweeps,
                 closures=closures,
+                phase="late" if sizes == "rlist" else "peel",
             )
         else:
             Lnew, IDnew, lab_unconv = _label_gossip_nd(
@@ -492,7 +493,8 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
         from ..ops.pallas import gossip as pg
 
         Lnew, IDnew, dist, lab_unconv, _ = pg.label_gossip(
-            pg.pack_allow_bits(allow), L, id_init, dist0, max_sweeps
+            pg.pack_allow_bits(allow), L, id_init, dist0, max_sweeps,
+            phase="peel",
         )
     else:
         Lnew, IDnew, dist, lab_unconv = _label_gossip(
@@ -1220,7 +1222,8 @@ def _final_map(gst: GossipState, st: CompactState, rm, r0, max_sweeps,
     if _use_pallas():
         from ..ops.pallas import gossip as pg
 
-        return pg.value_flood(gst.L, seed, max_sweeps, closures=closures)[:2]
+        return pg.value_flood(gst.L, seed, max_sweeps, closures=closures,
+                              phase="final")[:2]
     return _value_flood(gst.L, seed, max_sweeps)
 
 

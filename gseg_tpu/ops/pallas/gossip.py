@@ -63,7 +63,17 @@ T = int(_os.environ.get("GSEG_T", "8"))
 T_SCAN = 4   # steps per pass when scan closures do the long-range work
 
 
-def _pick_t(w: int) -> int:
+def _pick_t(w: int, phase: str | None = None) -> int:
+    """Steps per pass. Wide images are DMA-round-trip-bound per pass ->
+    larger T; narrow ones halo-bound -> T=8 (measured, CLAUDE.md). GSEG_T
+    overrides globally; GSEG_T_<PHASE> (PEEL / LATE / FINAL) overrides one
+    gossip phase for A/B sweeps — late rounds have geometrically larger
+    component diameters, so their optimum T can sit above the early
+    rounds'."""
+    if phase:
+        ovp = _os.environ.get(f"GSEG_T_{phase.upper()}")
+        if ovp:
+            return int(ovp)
     ov = _os.environ.get("GSEG_T")
     if ov:
         return int(ov)
@@ -886,7 +896,8 @@ def transpose_allow_bits(bits):
     return out
 
 
-def compmin_gossip(L, bw, be, sz, max_sweeps, closures=True):
+def compmin_gossip(L, bw, be, sz, max_sweeps, closures=True,
+                   phase=None):
     """Returns (bw, be, sz, unconverged, passes).
 
     closures=False runs step-only passes with the FULL pass budget instead
@@ -897,7 +908,7 @@ def compmin_gossip(L, bw, be, sz, max_sweeps, closures=True):
     twins) removes a large share of program compile time. Quality mode
     (thin high-diameter components) keeps the closure safety net."""
     h, w = L.shape
-    t = _pick_t(w)
+    t = _pick_t(w, phase)
     max_passes = -(-max_sweeps // t)
     rw = [(bw, jnp.inf), (be, jnp.iinfo(jnp.int32).max), (sz, 0)]
     if not closures:
@@ -914,7 +925,7 @@ def compmin_gossip(L, bw, be, sz, max_sweeps, closures=True):
     return bw, be, sz, unconv, passes
 
 
-def label_gossip(allow_bits, Lc, idf, dist, max_sweeps):
+def label_gossip(allow_bits, Lc, idf, dist, max_sweeps, phase=None):
     """Returns (Lc, idf, dist, unconverged). allow_bits: packed DIRS8 allow
     adjacency (see pack_allow_bits — same-old-label | merge-mark edges).
     dist: BFS level from the new cluster root, seeded 0 at old roots / BIG
@@ -927,7 +938,7 @@ def label_gossip(allow_bits, Lc, idf, dist, max_sweeps):
     boundary-safe by the sentinel pad.
     """
     h, w = Lc.shape
-    t = _pick_t(w)
+    t = _pick_t(w, phase)
     max_passes = -(-max_sweeps // t)
     (Lc, idf, dist), unconv, passes = _step_fixpoint(
         _allow_prepare, _label_step,
@@ -939,7 +950,8 @@ def label_gossip(allow_bits, Lc, idf, dist, max_sweeps):
     return Lc, idf, dist, unconv, passes
 
 
-def label_flood(allow_bits, Lc, idf, max_sweeps, closures=True):
+def label_flood(allow_bits, Lc, idf, max_sweeps, closures=True,
+                phase=None):
     """Dist-free min-label flood. Returns (Lc, idf, unconverged, passes).
 
     The production stage-G flood for rounds sized by the root list
@@ -948,7 +960,7 @@ def label_flood(allow_bits, Lc, idf, max_sweeps, closures=True):
     complexity at any component diameter. closures=False: see
     compmin_gossip."""
     h, w = Lc.shape
-    t = _pick_t(w)
+    t = _pick_t(w, phase)
     max_passes = -(-max_sweeps // t)
     rw = [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0)]
     if not closures:
@@ -965,7 +977,7 @@ def label_flood(allow_bits, Lc, idf, max_sweeps, closures=True):
     return Lc, idf, unconv, passes
 
 
-def value_flood(L, val, max_sweeps, closures=True):
+def value_flood(L, val, max_sweeps, closures=True, phase=None):
     """Min-value broadcast within same-L regions. Returns (val, unconverged,
     passes).
 
@@ -976,7 +988,7 @@ def value_flood(L, val, max_sweeps, closures=True):
     wavefront is active-area priced while a 4K closure pass-pair is not).
     """
     h, w = L.shape
-    t = _pick_t(w)
+    t = _pick_t(w, phase)
     rw = [(val, jnp.iinfo(jnp.int32).max)]
     if not closures:
         (val,), unconv, passes = _step_fixpoint(
@@ -993,13 +1005,13 @@ def value_flood(L, val, max_sweeps, closures=True):
     return val, unconv, passes
 
 
-def subtree_sums(pdir, s, max_sweeps):
+def subtree_sums(pdir, s, max_sweeps, phase=None):
     """Returns (sums, unconverged). Affine fixpoint (not idempotent): plain
     step passes, single orientation — converges in BFS-tree-depth steps
     (skip-strips is sound here too: the fixpoint is unique by nilpotency
     and an unchanged-input strip recomputes to the same values)."""
     h, w = pdir.shape
-    t = _pick_t(w)
+    t = _pick_t(w, phase)
     (sv,), unconv, _ = _step_fixpoint(
         _subsum_prepare, _subsum_step, [(pdir, 8)], [(s, 0)], h, w,
         -(-max_sweeps // t), t_steps=t,
