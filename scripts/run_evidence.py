@@ -53,7 +53,7 @@ LADDERS = [
     # full-pipeline XLA+Mosaic compile at 33 MPix is multi-hour cold) —
     # must not starve the cheap ladders. Per-rung checkpointing means a
     # killed campaign keeps everything already measured.
-    ("turbo_wb16", [0, 2], {"weight_buckets": 16}, "blobs"),
+    ("turbo_wb16", [0, 2, 4], {"weight_buckets": 16}, "blobs"),
     ("turbo", [6], {}, "blobs"),
 ]
 
