@@ -1,0 +1,20 @@
+#!/bin/bash
+# Post-outage runbook: run this when the axon TPU tunnel comes back.
+# Order matters (CLAUDE.md round-3 lesson): oracle parity FIRST — kernels
+# can return stable-but-wrong partitions with clean flags, so no timing
+# counts until partitions match the NumPy oracle on hardware.
+set -u
+cd "$(dirname "$0")/.."
+LOG=bench_out/tunnel_up_$(date +%Y%m%d_%H%M).log
+mkdir -p bench_out
+{
+  echo "=== 1. oracle parity (20-seed quality sweep + 540p blobs/textured)"
+  timeout 5400 python scripts/check_tpu_parity.py || {
+    echo "PARITY FAILED — stop; do not measure."; exit 1; }
+
+  echo "=== 2. flagship bench sanity (1080p turbo)"
+  timeout 3600 python bench.py
+
+  echo "=== 3. evidence campaign (perf ladders + batch + plots)"
+  timeout 36000 python scripts/run_evidence.py --sections perf,batch,plots
+} 2>&1 | tee "$LOG"
