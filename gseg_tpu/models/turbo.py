@@ -934,7 +934,9 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
         s, rl = c
         s2, rl2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz",
                           max_sweeps, tau=thresholds[s.bucket], rlist=rl,
-                          sizes="rlist", closures=False)
+                          sizes="rlist",
+                          closures=os.environ.get(
+                              "GSEG_LATE_CLOSURES") == "1")
         return advance(s, s2), rl2
 
     gst, _ = _rlist_loop(gcond2, gbody2, gst, rlist, vid,
