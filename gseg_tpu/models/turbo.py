@@ -1029,19 +1029,41 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
         # run candidates stay ~V/3 even at C ~ V/500, so the pool needs
         # V/2 at any gate.
         cap_live = max(v // 2, 1 << 16)
-        lo, hi, ew4, eid4, _, extract_ovf = px.boundary_extract(
+        lo, hi, ew4, eid4, cnt, extract_ovf = px.boundary_extract(
             gst.L, weights, w, cap_live
         )
-        s_lo, s_hi, s_w, s_e = jax.lax.sort(
-            (lo, hi, ew4, eid4), num_keys=4
-        )
-        head = jnp.concatenate(
-            [jnp.ones((1,), jnp.bool_),
-             (s_lo[1:] != s_lo[:-1]) | (s_hi[1:] != s_hi[:-1])]
-        ) & (s_lo != INT32_MAX)
-        pm, (plo, phi, pw, pe), pair_ovf = _select_compact(
-            head, [s_lo, s_hi, s_w, s_e], pair_cap
-        )
+
+        def _dedup(n):
+            """Sort-dedup the first n candidate slots (the kernel output is
+            front-compacted: every live entry sits below `cnt`)."""
+            def f(ops):
+                s_lo, s_hi, s_w, s_e = jax.lax.sort(
+                    tuple(o[:n] for o in ops), num_keys=4
+                )
+                head = jnp.concatenate(
+                    [jnp.ones((1,), jnp.bool_),
+                     (s_lo[1:] != s_lo[:-1]) | (s_hi[1:] != s_hi[:-1])]
+                ) & (s_lo != INT32_MAX)
+                return _select_compact(
+                    head, [s_lo, s_hi, s_w, s_e], pair_cap
+                )
+            return f
+
+        # live-count small path (same pattern as _s2_stage): the candidate
+        # pool capacity covers sponge-boundary content (~V/3 candidates),
+        # but typical content runs far below it, and the dedup sorts are
+        # capacity-priced. GSEG_EX_SMALL=0 disables.
+        small_cap = max(cap_live // 4, pair_cap)
+        if (small_cap < cap_live
+                and os.environ.get("GSEG_EX_SMALL", "1") == "1"):
+            pm, (plo, phi, pw, pe), pair_ovf = jax.lax.cond(
+                cnt <= small_cap, _dedup(small_cap), _dedup(cap_live),
+                (lo, hi, ew4, eid4),
+            )
+        else:
+            pm, (plo, phi, pw, pe), pair_ovf = _dedup(cap_live)(
+                (lo, hi, ew4, eid4)
+            )
         pair_ovf = pair_ovf | extract_ovf
     else:
         # ---- XLA path: live canonical edges from dense shifted planes
