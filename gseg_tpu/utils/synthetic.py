@@ -21,6 +21,13 @@ def blobs_image(h: int, w: int, num_blobs: int = 6, noise: float = 8.0,
     rng = np.random.default_rng(seed)
     own = blobs_ground_truth(h, w, num_blobs, seed)
     palette = rng.integers(0, 256, (num_blobs, 3))
+    if h * w > 1 << 22:
+        # large rungs: float32 noise halves the host memory/time (content
+        # is arbitrary there; small shapes keep the legacy f64 stream so
+        # committed quality artifacts stay byte-stable).
+        img = palette[own].astype(np.float32)
+        img += rng.standard_normal(img.shape, dtype=np.float32) * np.float32(noise)
+        return np.clip(img, 0, 255).astype(np.uint8)
     img = palette[own].astype(np.float64)
     img += rng.normal(0.0, noise, img.shape)
     return np.clip(img, 0, 255).astype(np.uint8)
@@ -38,6 +45,31 @@ def blobs_ground_truth(h: int, w: int, num_blobs: int = 6, seed: int = 0
     rng = np.random.default_rng(seed)
     cy = rng.uniform(0, h, num_blobs)
     cx = rng.uniform(0, w, num_blobs)
+    if h * w > 1 << 22:
+        # Large images (perf-ladder rungs, pixel-proportional blob counts):
+        # the per-center loop below makes num_blobs memory-bound passes
+        # over the whole image (~minutes at 8K x 506 blobs). Use a chunked
+        # BLAS form instead: argmin_i |p - c_i|^2 = argmin_i (|c_i|^2 -
+        # 2 p.c_i), one (chunk, B) GEMM + argmin per row block. Rounding
+        # differs from the legacy loop (near-tie boundary pixels may flip
+        # center), so the small shapes every committed quality artifact
+        # depends on keep the legacy arithmetic exactly.
+        c = np.stack([cy, cx]).astype(np.float32)          # (2, B)
+        c2 = (c[0] ** 2 + c[1] ** 2).astype(np.float32)    # (B,)
+        own = np.empty((h, w), np.int32)
+        xs = np.arange(w, dtype=np.float32)
+        rows_per_chunk = max((1 << 24) // max(num_blobs * w, 1), 1)
+        for y0 in range(0, h, rows_per_chunk):
+            y1 = min(y0 + rows_per_chunk, h)
+            ys = np.arange(y0, y1, dtype=np.float32)
+            p = np.empty(((y1 - y0) * w, 2), np.float32)
+            p[:, 0] = np.repeat(ys, w)
+            p[:, 1] = np.tile(xs, y1 - y0)
+            score = p @ c                                  # (chunk, B)
+            score *= -2.0
+            score += c2[None, :]
+            own[y0:y1] = np.argmin(score, axis=1).reshape(y1 - y0, w)
+        return own
     yy, xx = np.mgrid[0:h, 0:w]
     yy = yy.astype(np.float32)
     xx = xx.astype(np.float32)
