@@ -81,6 +81,18 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _gate_div() -> int:
+    """Speed-mode stage-G -> stage-2 handoff density: gossip rounds run
+    until C <= V/div. The V/128 default was measured optimal when
+    extraction/stage-2 sorts were CAPACITY-priced (a V/40 handoff pushed
+    pixel-scale pool work into them — rejected round 2). The live-count
+    small paths changed that calculus: on typical content those costs now
+    track live counts, so an earlier handoff trades the expensive late
+    gossip floods for a few live-priced compact rounds. GSEG_GATE_DIV
+    overrides for hardware A/B; capacities downstream scale with it."""
+    return int(os.environ.get("GSEG_GATE_DIV", "128"))
+
+
 def _shift(x, dy, dx, fill):
     return gg.shift_plane(x, dy, dx, fill)
 
@@ -903,7 +915,7 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
     # and stage 2). closures=False throughout: speed-mode diameters
     # converge inside the step-pass budget, and dropping the closure
     # kernels (+ transposed twins) cuts program compile cost.
-    gate_c = v // 128
+    gate_c = v // _gate_div()
 
     def pcond(s):
         return s.merged & (s.it < 2)
@@ -1014,8 +1026,12 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     """
     h, w = gst.L.shape
     v = h * w
+    gd = _gate_div()
     # headroom for cross-chunk duplicate pairs (see _chunked_pair_extract).
-    pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 24, 16384)
+    # Earlier gates (smaller gd) mean denser boundaries at handoff: scale
+    # the pair pool with the gate (gd=128 keeps the measured v/24).
+    pair_cap = max(v // 6 if cfg.weight_buckets > 0
+                   else v // min(24, max(gd // 4, 3)), 16384)
     if _use_pallas():
         # ---- Pallas path: the boundary_extract kernel does the dense ->
         # sparse transition on the VPU (run-dedup + in-VMEM stream
@@ -1096,7 +1112,8 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     # ---- initial-root list for the final map: every component with at
     # least one live edge (components without live edges can never merge in
     # stage 2, so identity entries in the final map are correct for them).
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
+    comp_cap = max(v // 24 if cfg.weight_buckets > 0
+                   else v // min(96, max(gd * 3 // 4, 2)), 16384)
     srt_src = jax.lax.sort((jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),))[0]
     rhead = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), srt_src[1:] != srt_src[:-1]]
@@ -1139,8 +1156,10 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     # below 1 MPix the full-V head capacity is cheap and removes the
     # tight-k overflow->fallback path (quality-set finding: heads exceeded
     # the 16384 floor when the bucket ramp exits with many components).
+    gd = _gate_div()
     comp_cap = (v if v <= 1 << 20
-                else max(v // 24 if cfg.weight_buckets > 0 else v // 96,
+                else max(v // 24 if cfg.weight_buckets > 0
+                         else v // min(96, max(gd * 3 // 4, 2)),
                          16384))
     # NOTE: live head/pair counts do NOT shrink with felz convergence
     # (non-merging components keep live boundary edges and stay heads every
@@ -1153,7 +1172,8 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     # one warmup round shrinks live pairs ~4x (quality mode merges slower
     # under the bucket ramp: keep two rounds and a larger recompact cap).
     warm_rounds = 2 if quality else 1
-    rec1_cap = max(v // 16 if quality else v // 64, 16384)
+    rec1_cap = max(v // 16 if quality
+                   else v // min(64, max(gd // 2, 4)), 16384)
 
     def early(s: CompactState) -> CompactState:
         """Warm round(s) + recompact (+ speed mode: 2 rounds, prune, second
@@ -1185,7 +1205,7 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
                       thresholds, nb, with_minsize=False,
                       flag_exhaustion=False)
         s = _prune_dead(s, v, cfg.k, cfg.min_size)
-        s, rec2_ovf = _recompact_edges(s, max(v // 128, 8192))
+        s, rec2_ovf = _recompact_edges(s, max(v // min(128, gd), 8192))
         return s._replace(
             flags=s.flags
             | jnp.where(rec2_ovf, jnp.int32(FLAG_RECOMPACT_OVERFLOW),
@@ -1206,6 +1226,8 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
         "GSEG_S2_SMALL_DIV", "24" if quality else "64"))
     # cs >= rec1_cap/2 keeps the recompact slice full-length (the sliced
     # pool holds 2*cs entries, and _pair_dedup slices [:rec1_cap]).
+    if not quality and gd < 64:
+        div = min(div, max(gd // 2, 4))  # earlier gates: denser live sets
     cs = max(v // div, rec1_cap // 2)
     if small_on and cs < pair_cap:
         live = jnp.sum(jnp.isfinite(st.ew[:pair_cap]).astype(jnp.int32))
@@ -1220,7 +1242,7 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     if quality:
         return _s2_phase(st, v, comp_cap, cfg.k, cfg.min_size, s2_iters,
                          thresholds, nb, with_minsize=cfg.min_size > 1)
-    comp_cap2 = max(v // 1024, 4096)
+    comp_cap2 = max(v // min(1024, gd * 8), 4096)
     return _s2_phase(st, v, comp_cap2, cfg.k, cfg.min_size, s2_iters,
                      thresholds, nb, with_minsize=cfg.min_size > 1)
 
