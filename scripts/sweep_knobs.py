@@ -1,0 +1,108 @@
+"""A/B sweep of the trace-time perf knobs on the real chip.
+
+Each config runs in a subprocess (knobs are read at trace time), timing
+turbo end-to-end with the fenced protocol; rows append to
+bench_out/sweep.jsonl. Default sweep: the round-3/4 levers —
+
+  - baseline (all defaults)
+  - live-pricing off (GSEG_S2_SMALL=0 GSEG_EX_SMALL=0 GSEG_RLIST_SPLIT=0)
+  - early gate (GSEG_GATE_DIV=13: stage 2 takes over right after the two
+    peel rounds)
+  - late-round steps-per-pass (GSEG_T_LATE=16/32)
+  - late-round scan closures (GSEG_LATE_CLOSURES=1)
+
+Usage: python scripts/sweep_knobs.py [--shapes 1080x1920,2160x3840]
+       [--configs baseline,nosmall,gate13,tlate16,tlate32,closures]
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIGS = {
+    "baseline": {},
+    "nosmall": {"GSEG_S2_SMALL": "0", "GSEG_EX_SMALL": "0",
+                "GSEG_RLIST_SPLIT": "0"},
+    "gate13": {"GSEG_GATE_DIV": "13"},
+    "gate32": {"GSEG_GATE_DIV": "32"},
+    "tlate16": {"GSEG_T_LATE": "16"},
+    "tlate32": {"GSEG_T_LATE": "32"},
+    "closures": {"GSEG_LATE_CLOSURES": "1"},
+}
+
+CHILD = r"""
+import sys, time, json
+sys.path.insert(0, %(repo)r)
+from gseg_tpu.utils.jaxcache import enable_persistent_cache
+enable_persistent_cache()
+import jax
+import jax.numpy as jnp
+import numpy as np
+from gseg_tpu.config import SegmentationConfig
+from gseg_tpu.models.turbo import segment_turbo, segment_turbo_flagged
+from gseg_tpu.utils.synthetic import blobs_image
+
+h, w = %(h)d, %(w)d
+cfg = SegmentationConfig(sigma=0.8, k=300.0, min_size=100, max_iters=32)
+img = jax.device_put(jnp.asarray(
+    blobs_image(h, w, num_blobs=max(8, (h * w) // 65536), noise=8.0, seed=0)))
+t0 = time.time()
+_ = int(jnp.max(segment_turbo(img, cfg)))  # checked warmup (flags raise)
+compile_s = time.time() - t0
+times = []
+for _ in range(%(reps)d):
+    t0 = time.perf_counter()
+    _ = int(jnp.max(segment_turbo_flagged(img, cfg, 2)[0]))
+    times.append(time.perf_counter() - t0)
+mean_s = max(float(np.mean(times)) - 0.030, 1e-6)
+print("ROW " + json.dumps({
+    "mean_ms": round(mean_s * 1e3, 1),
+    "min_ms": round((min(times) - 0.030) * 1e3, 1),
+    "compile_s": round(compile_s, 1),
+    "mpix_per_s": round(h * w / 1e6 / mean_s, 2),
+}), flush=True)
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shapes", default="1080x1920,2160x3840")
+    ap.add_argument("--configs", default=",".join(CONFIGS))
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--timeout", type=int, default=3600)
+    ap.add_argument("--out", default="bench_out/sweep.jsonl")
+    args = ap.parse_args()
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    for sh in args.shapes.split(","):
+        h, w = (int(x) for x in sh.split("x"))
+        for name in args.configs.split(","):
+            knobs = CONFIGS[name]
+            env = dict(os.environ, **knobs)
+            src = CHILD % {"repo": REPO, "h": h, "w": w, "reps": args.reps}
+            t0 = time.time()
+            try:
+                p = subprocess.run([sys.executable, "-c", src], env=env,
+                                   capture_output=True, text=True,
+                                   timeout=args.timeout)
+                rows = [l for l in p.stdout.splitlines()
+                        if l.startswith("ROW ")]
+                if rows:
+                    row = json.loads(rows[-1][4:])
+                else:
+                    err = (p.stderr.strip().splitlines() or ["no output"])[-1]
+                    row = {"error": err[:300], "rc": p.returncode}
+            except subprocess.TimeoutExpired:
+                row = {"error": f"timeout {args.timeout}s"}
+            row.update({"config": name, "knobs": knobs, "height": h,
+                        "width": w, "wall_s": round(time.time() - t0, 1)})
+            print(json.dumps(row), flush=True)
+            with open(args.out, "a") as f:
+                f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()
