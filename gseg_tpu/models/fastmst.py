@@ -198,9 +198,34 @@ def segment_fastmst_impl(image: jnp.ndarray, cfg: SegmentationConfig):
             rec_ovf | rec2_ovf,
             jnp.int32(turbo.FLAG_RECOMPACT_OVERFLOW), jnp.int32(0))
     )
-    st = turbo._s2_phase(st, v, comp_cap, cfg.k, cfg.min_size,
-                         2 * cfg.max_iters, thresholds, 1,
-                         with_minsize=cfg.min_size > 1, canonical=False)
+    # Run-out rounds: pool sorts are CAPACITY-priced while live pairs keep
+    # decaying 3-4x/round — route through a V/16 slice when the live count
+    # fits (the recompacted pool is front-compacted, so slicing is
+    # lossless then; _final_map only needs fin/flags, so the lax.cond
+    # projects those out and branch shapes stay equal). Same pattern as
+    # turbo._s2_stage; GSEG_S2_SMALL=0 disables.
+    import os as _os
+
+    def _runout(s):
+        s = turbo._s2_phase(s, v, comp_cap, cfg.k, cfg.min_size,
+                            2 * cfg.max_iters, thresholds, 1,
+                            with_minsize=cfg.min_size > 1, canonical=False)
+        return s.fin, s.flags
+
+    pool = st.esrc.shape[0]
+    cs = max(v // 16, 16384)
+    if cs < pool and _os.environ.get("GSEG_S2_SMALL", "1") == "1":
+        live = jnp.sum(jnp.isfinite(st.ew).astype(jnp.int32))
+
+        def _sliced(s):
+            return _runout(s._replace(
+                esrc=s.esrc[:cs], edst=s.edst[:cs], ew=s.ew[:cs],
+                eeid=s.eeid[:cs]))
+
+        fin, flags2 = jax.lax.cond(live <= cs, _sliced, _runout, st)
+    else:
+        fin, flags2 = _runout(st)
+    st = st._replace(fin=fin, flags=flags2)
 
     labels, fm_unconv = turbo._final_map(gst, st, rm, r0, 4 * (h + w))
     flags = st.flags | jnp.where(

@@ -74,3 +74,29 @@ def test_superpixel_level_selection():
     labels = np.asarray(segment_superpixel(jnp.asarray(img), cfg))
     levels, _ = segment_superpixel_hierarchy(jnp.asarray(img), cfg)
     assert np.array_equal(labels, np.asarray(levels)[3])
+
+
+def test_runout_slice_matches_full_pool(monkeypatch):
+    """The run-out rounds' live-count slice (GSEG_S2_SMALL) must produce
+    byte-identical labels to the full-capacity branch and the oracle —
+    the recompacted pool is front-compacted, so slicing is lossless once
+    every live pair fits. Image sized so v/4 exceeds the 16384 floor and
+    the cond is actually present."""
+    import jax
+
+    from gseg_tpu.models.fastmst import segment_fastmst_flagged
+
+    img = blobs_image(260, 300, num_blobs=8, noise=8.0, seed=5)
+    cfg = SegmentationConfig(k=150.0, min_size=20)
+    outs = {}
+    for sm in ("1", "0"):
+        monkeypatch.setenv("GSEG_S2_SMALL", sm)
+        jax.clear_caches()
+        lab, fl = segment_fastmst_flagged(jnp.asarray(img), cfg)
+        assert int(fl) == 0
+        outs[sm] = np.asarray(lab)
+    monkeypatch.undo()
+    jax.clear_caches()
+    expected = segment_boruvka_np(img, cfg)
+    assert np.array_equal(outs["1"], outs["0"])
+    assert np.array_equal(outs["1"], expected)
