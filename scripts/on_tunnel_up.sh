@@ -15,6 +15,12 @@ mkdir -p bench_out
   echo "=== 2. flagship bench sanity (1080p turbo)"
   timeout 3600 python bench.py
 
+  echo "=== 2.5 bounded knob sweep (decides GSEG_GATE_DIV for the campaign)"
+  timeout 10800 python scripts/sweep_knobs.py \
+      --shapes 1080x1920,2160x3840 --configs baseline,nosmall,gate13 || true
+  # If gate13 wins decisively at BOTH shapes with flags clean, export
+  # GSEG_GATE_DIV=13 before step 3 and make it the code default after.
+
   echo "=== 3. evidence campaign (perf ladders + batch + plots)"
   timeout 36000 python scripts/run_evidence.py --sections perf,batch,plots
 } 2>&1 | tee "$LOG"
