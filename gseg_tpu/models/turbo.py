@@ -1224,11 +1224,11 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     small_on = os.environ.get("GSEG_S2_SMALL", "1") == "1"
     div = int(os.environ.get(
         "GSEG_S2_SMALL_DIV", "24" if quality else "64"))
-    # cs >= rec1_cap/2 keeps the recompact slice full-length (the sliced
-    # pool holds 2*cs entries, and _pair_dedup slices [:rec1_cap]).
+    # cs >= ceil(rec1_cap/2) keeps the recompact slice full-length (the
+    # sliced pool holds 2*cs entries, and _pair_dedup slices [:rec1_cap]).
     if not quality and gd < 64:
         div = min(div, max(gd // 2, 4))  # earlier gates: denser live sets
-    cs = max(v // div, rec1_cap // 2)
+    cs = max(v // div, -(-rec1_cap // 2))
     if small_on and cs < pair_cap:
         live = jnp.sum(jnp.isfinite(st.ew[:pair_cap]).astype(jnp.int32))
         st = jax.lax.cond(
@@ -1335,7 +1335,9 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
         flags=jnp.int32(0),
     )
     levels = jnp.zeros((n_levels, h, w), jnp.int32)
-    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 128
+    # same gate as _stage_g (incl. GSEG_GATE_DIV) so hierarchy levels
+    # keep corresponding to segment_turbo's internal rounds.
+    gate_c = v // 32 if cfg.weight_buckets > 0 else v // _gate_div()
 
     def advance(s, s2):
         more = s.bucket + 1 < nb

@@ -2,8 +2,9 @@
 # Post-outage runbook: run this when the axon TPU tunnel comes back.
 # Order matters (CLAUDE.md round-3 lesson): oracle parity FIRST — kernels
 # can return stable-but-wrong partitions with clean flags, so no timing
-# counts until partitions match the NumPy oracle on hardware.
-set -u
+# counts until partitions match the NumPy oracle on hardware. Each step
+# aborts the rest on failure; the script's exit status reflects it.
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 LOG=bench_out/tunnel_up_$(date +%Y%m%d_%H%M).log
 mkdir -p bench_out
@@ -13,13 +14,17 @@ mkdir -p bench_out
     echo "PARITY FAILED — stop; do not measure."; exit 1; }
 
   echo "=== 2. flagship bench sanity (1080p turbo)"
-  timeout 3600 python bench.py
+  timeout 3600 python bench.py || {
+    echo "BENCH SANITY FAILED — stop before burning campaign time."
+    exit 1; }
 
-  echo "=== 2.5 bounded knob sweep (decides GSEG_GATE_DIV for the campaign)"
-  timeout 10800 python scripts/sweep_knobs.py \
+  echo "=== 2.5 bounded knob sweep (oracle-checked per config; decides"
+  echo "        GSEG_GATE_DIV for the campaign)"
+  timeout 14400 python scripts/sweep_knobs.py \
       --shapes 1080x1920,2160x3840 --configs baseline,nosmall,gate13 || true
-  # If gate13 wins decisively at BOTH shapes with flags clean, export
-  # GSEG_GATE_DIV=13 before step 3 and make it the code default after.
+  # Promote a knob into the campaign env ONLY if its sweep row is faster
+  # AND carries oracle_equal=true at BOTH shapes. Before making any knob
+  # a code default, also rerun scripts/check_tpu_parity.py with that env.
 
   echo "=== 3. evidence campaign (perf ladders + batch + plots)"
   timeout 36000 python scripts/run_evidence.py --sections perf,batch,plots

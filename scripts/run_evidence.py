@@ -74,7 +74,11 @@ def base_algo(name: str) -> str:
 
 def section_perf(out_dir: str) -> list:
     path = os.path.join(out_dir, "perf.jsonl")
-    rows = _load(path)  # resume: keep rungs measured by a prior run
+    # resume: keep rungs measured by a prior run. CAUTION: rungs above
+    # 4 MPix generated before commit "Fast large-image blob generation"
+    # used different image content — do not resume a perf.jsonl that
+    # predates it (the quarantined artifacts already don't qualify).
+    rows = _load(path)
     done = {(r.get("algorithm"), r.get("content", "blobs"), r.get("height"),
              r.get("width"))
             for r in rows if "error" not in r}

@@ -1,18 +1,23 @@
 """A/B sweep of the trace-time perf knobs on the real chip.
 
-Each config runs in a subprocess (knobs are read at trace time), timing
-turbo end-to-end with the fenced protocol; rows append to
-bench_out/sweep.jsonl. Default sweep: the round-3/4 levers —
+Each config runs in a subprocess (knobs are read at trace time) with every
+GSEG_* variable RESET first (a contaminated shell cannot skew "baseline"),
+timing turbo end-to-end with the fenced protocol AND oracle-comparing the
+partition (CLAUDE.md round-3 rule: flags cannot catch a leaked label — a
+knob config that returns a stable-but-wrong fixpoint must lose the sweep
+by failing, not win it on speed). The sequential-oracle labels are
+computed once per shape on the host and cached under bench_out/.
+
+Rows append to bench_out/sweep.jsonl. Default sweep: the round-3/4 levers —
 
   - baseline (all defaults)
   - live-pricing off (GSEG_S2_SMALL=0 GSEG_EX_SMALL=0 GSEG_RLIST_SPLIT=0)
-  - early gate (GSEG_GATE_DIV=13: stage 2 takes over right after the two
-    peel rounds)
+  - early gate (GSEG_GATE_DIV=13/32)
   - late-round steps-per-pass (GSEG_T_LATE=16/32)
   - late-round scan closures (GSEG_LATE_CLOSURES=1)
 
 Usage: python scripts/sweep_knobs.py [--shapes 1080x1920,2160x3840]
-       [--configs baseline,nosmall,gate13,tlate16,tlate32,closures]
+       [--configs baseline,nosmall,gate13,...] [--no-oracle]
 """
 import argparse
 import json
@@ -35,7 +40,7 @@ CONFIGS = {
 }
 
 CHILD = r"""
-import sys, time, json
+import sys, time, json, os
 sys.path.insert(0, %(repo)r)
 from gseg_tpu.utils.jaxcache import enable_persistent_cache
 enable_persistent_cache()
@@ -53,19 +58,52 @@ img = jax.device_put(jnp.asarray(
 t0 = time.time()
 _ = int(jnp.max(segment_turbo(img, cfg)))  # checked warmup (flags raise)
 compile_s = time.time() - t0
+row = {"compile_s": round(compile_s, 1)}
+oracle_path = %(oracle)r
+if oracle_path:
+    from gseg_tpu.utils.labels import canonical_min_labels_np
+    lab = np.asarray(segment_turbo_flagged(img, cfg, 2)[0])
+    ok = bool(np.array_equal(canonical_min_labels_np(lab),
+                             np.load(oracle_path)))
+    row["oracle_equal"] = ok
+    if not ok:
+        print("ROW " + json.dumps(dict(row, error="ORACLE MISMATCH")),
+              flush=True)
+        sys.exit(0)
 times = []
 for _ in range(%(reps)d):
     t0 = time.perf_counter()
     _ = int(jnp.max(segment_turbo_flagged(img, cfg, 2)[0]))
     times.append(time.perf_counter() - t0)
 mean_s = max(float(np.mean(times)) - 0.030, 1e-6)
-print("ROW " + json.dumps({
+row.update({
     "mean_ms": round(mean_s * 1e3, 1),
     "min_ms": round((min(times) - 0.030) * 1e3, 1),
-    "compile_s": round(compile_s, 1),
     "mpix_per_s": round(h * w / 1e6 / mean_s, 2),
-}), flush=True)
+})
+print("ROW " + json.dumps(row), flush=True)
 """
+
+ORACLE_CHILD = r"""
+import sys, numpy as np
+sys.path.insert(0, %(repo)r)
+from gseg_tpu.config import SegmentationConfig
+from gseg_tpu.models.boruvka_cpu import segment_boruvka_np
+from gseg_tpu.utils.labels import canonical_min_labels_np
+from gseg_tpu.utils.synthetic import blobs_image
+
+h, w = %(h)d, %(w)d
+img = blobs_image(h, w, num_blobs=max(8, (h * w) // 65536), noise=8.0, seed=0)
+cfg = SegmentationConfig(sigma=0.8, k=300.0, min_size=100, max_iters=32)
+np.save(%(path)r, canonical_min_labels_np(segment_boruvka_np(img, cfg)))
+print("oracle saved")
+"""
+
+
+def _clean_env(knobs):
+    env = {k: v for k, v in os.environ.items() if not k.startswith("GSEG_")}
+    env.update(knobs)
+    return env
 
 
 def main():
@@ -75,17 +113,34 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--timeout", type=int, default=3600)
     ap.add_argument("--out", default="bench_out/sweep.jsonl")
+    ap.add_argument("--no-oracle", action="store_true")
     args = ap.parse_args()
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     for sh in args.shapes.split(","):
         h, w = (int(x) for x in sh.split("x"))
+        oracle_path = ""
+        if not args.no_oracle:
+            oracle_path = os.path.join(
+                os.path.dirname(args.out), f"oracle_bench_{h}x{w}.npy")
+            if not os.path.exists(oracle_path):
+                print(f"[oracle] computing {h}x{w} on host "
+                      "(one-time, cached)", flush=True)
+                p = subprocess.run(
+                    [sys.executable, "-c", ORACLE_CHILD % {
+                        "repo": REPO, "h": h, "w": w, "path": oracle_path}],
+                    env=_clean_env({}), timeout=14400)
+                if p.returncode != 0:
+                    print(f"[oracle] FAILED for {h}x{w}; rows will carry "
+                          "no oracle check", flush=True)
+                    oracle_path = ""
         for name in args.configs.split(","):
             knobs = CONFIGS[name]
-            env = dict(os.environ, **knobs)
-            src = CHILD % {"repo": REPO, "h": h, "w": w, "reps": args.reps}
+            src = CHILD % {"repo": REPO, "h": h, "w": w, "reps": args.reps,
+                           "oracle": oracle_path}
             t0 = time.time()
             try:
-                p = subprocess.run([sys.executable, "-c", src], env=env,
+                p = subprocess.run([sys.executable, "-c", src],
+                                   env=_clean_env(knobs),
                                    capture_output=True, text=True,
                                    timeout=args.timeout)
                 rows = [l for l in p.stdout.splitlines()

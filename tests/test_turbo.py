@@ -327,3 +327,40 @@ def test_rlist_split_loop_matches_single_loop(monkeypatch):
         jax.clear_caches()
         assert np.array_equal(outs["1"], outs["0"])
         assert np.array_equal(outs["1"], expected)
+
+
+def test_extract_small_path_matches_full_dedup(monkeypatch):
+    """GSEG_EX_SMALL routing (Pallas path, interpret mode): the sliced
+    candidate dedup must match the full-capacity dedup and the oracle.
+    NOTE: at CI shapes the candidate count can never exceed the floored
+    slice, so only the small branch is runtime-reachable with the knob on;
+    the knob-off run compiles and runs the full-capacity dedup. The
+    cnt > small_cap big branch is exercised on hardware by the sponge/
+    quality sweeps (scripts/check_tpu_parity.py)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gseg_tpu.models import turbo as turbo_mod
+
+    cfg = SegmentationConfig(k=100.0, min_size=8)
+    img = blobs_image(24, 40, 5, 6.0, 7)
+    expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
+    orig = turbo_mod._use_pallas
+    turbo_mod._use_pallas = lambda: True
+    outs = {}
+    try:
+        for ex in ("1", "0"):
+            monkeypatch.setenv("GSEG_EX_SMALL", ex)
+            jax.clear_caches()
+            with pltpu.force_tpu_interpret_mode():
+                got, flags = turbo_mod.segment_turbo_impl(
+                    jnp.asarray(img), cfg, 4
+                )
+            assert int(flags) == 0
+            outs[ex] = np.asarray(got)
+    finally:
+        turbo_mod._use_pallas = orig
+        monkeypatch.undo()
+        jax.clear_caches()
+    assert np.array_equal(outs["1"], outs["0"])
+    assert np.array_equal(outs["1"], expected)
