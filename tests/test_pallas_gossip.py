@@ -265,3 +265,32 @@ def test_value_flood_matches_xla_and_broadcasts(shape, closures):
     got = np.asarray(got_v)
     expect = np.vectorize(lambda r: vals[int(r)])(Ln)
     assert np.array_equal(got, expect)
+
+
+@pytest.mark.parametrize("t", [16, 32])
+def test_multistrip_flood_at_larger_t(monkeypatch, t):
+    """GSEG_T_LATE hardware A/B pre-validation: the multi-strip flood must
+    stay bit-equal to the XLA sweeps at T=16/32 (larger T widens the slab
+    halos — the same hazard class as the round-3 wrap bug)."""
+    import gseg_tpu.ops.grid_graph as gg
+
+    monkeypatch.setenv("GSEG_T", str(t))
+    h, w = 160, 140
+    rng = np.random.default_rng(7)
+    comp = (np.arange(w)[None, :] // 3) * 2 + (np.arange(h)[:, None] >= 100)
+    L = jnp.asarray(np.broadcast_to(comp, (h, w)).astype(np.int32))
+    idf = jnp.asarray(rng.uniform(0, 5, (h, w)).astype(np.float32))
+    Lc0 = jnp.asarray(
+        ((h - np.arange(h))[:, None] * 1000
+         + np.arange(w)[None, :]).astype(np.int32))
+    ms = 4 * (h + w)
+    nbrL = jnp.stack([gg.shift_plane(L, dy, dx, -1) for dy, dx in gg.DIRS8])
+    allow_l = [nbrL[d] == L for d in range(8)]
+
+    rL, rI, _ = turbo._label_gossip_nd(Lc0, allow_l, idf, ms)
+    with pltpu.force_tpu_interpret_mode():
+        gL, gI, _, _ = pg.label_flood(
+            pg.pack_allow_bits(allow_l), Lc0, idf, ms, closures=False
+        )
+    assert np.array_equal(np.asarray(rL), np.asarray(gL))
+    assert np.array_equal(np.asarray(rI), np.asarray(gI))
