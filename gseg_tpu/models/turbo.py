@@ -81,6 +81,14 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _gate_div_q() -> int:
+    """Quality-mode gossip->stage-2 handoff density (default V/32). The
+    bucket ramp makes quality gossip run >= nb rounds; stage 2 implements
+    the same ramp natively on live-priced pools, so an earlier handoff is
+    the candidate fix for wb16's overhead — A/B via GSEG_GATE_DIV_Q."""
+    return int(os.environ.get("GSEG_GATE_DIV_Q", "32"))
+
+
 def _gate_div() -> int:
     """Speed-mode stage-G -> stage-2 handoff density: gossip rounds run
     until C <= V/div. The V/128 default was measured optimal when
@@ -861,7 +869,7 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
         # machinery: two peeled rounds with counting-scatter sizes, then
         # dist-free floods (scan closures past WARM_PASSES) with root-list
         # sizes, handing off early at v/32.
-        gate_c = v // 32
+        gate_c = v // _gate_div_q()
 
         def pcond(s):
             return s.merged & (s.it < 2)
@@ -1030,7 +1038,8 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     # headroom for cross-chunk duplicate pairs (see _chunked_pair_extract).
     # Earlier gates (smaller gd) mean denser boundaries at handoff: scale
     # the pair pool with the gate (gd=128 keeps the measured v/24).
-    pair_cap = max(v // 6 if cfg.weight_buckets > 0
+    gdq = _gate_div_q()
+    pair_cap = max(v // min(6, max(gdq // 5, 2)) if cfg.weight_buckets > 0
                    else v // min(24, max(gd // 4, 3)), 16384)
     if _use_pallas():
         # ---- Pallas path: the boundary_extract kernel does the dense ->
@@ -1112,7 +1121,8 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     # ---- initial-root list for the final map: every component with at
     # least one live edge (components without live edges can never merge in
     # stage 2, so identity entries in the final map are correct for them).
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0
+    comp_cap = max(v // min(24, max(gdq * 3 // 4, 2))
+                   if cfg.weight_buckets > 0
                    else v // min(96, max(gd * 3 // 4, 2)), 16384)
     srt_src = jax.lax.sort((jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),))[0]
     rhead = jnp.concatenate(
@@ -1157,8 +1167,10 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     # tight-k overflow->fallback path (quality-set finding: heads exceeded
     # the 16384 floor when the bucket ramp exits with many components).
     gd = _gate_div()
+    gdq = _gate_div_q()
     comp_cap = (v if v <= 1 << 20
-                else max(v // 24 if cfg.weight_buckets > 0
+                else max(v // min(24, max(gdq * 3 // 4, 2))
+                         if cfg.weight_buckets > 0
                          else v // min(96, max(gd * 3 // 4, 2)),
                          16384))
     # NOTE: live head/pair counts do NOT shrink with felz convergence
@@ -1172,7 +1184,7 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     # one warmup round shrinks live pairs ~4x (quality mode merges slower
     # under the bucket ramp: keep two rounds and a larger recompact cap).
     warm_rounds = 2 if quality else 1
-    rec1_cap = max(v // 16 if quality
+    rec1_cap = max(v // min(16, max(gdq // 2, 2)) if quality
                    else v // min(64, max(gd // 2, 4)), 16384)
 
     def early(s: CompactState) -> CompactState:
@@ -1228,6 +1240,8 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     # sliced pool holds 2*cs entries, and _pair_dedup slices [:rec1_cap]).
     if not quality and gd < 64:
         div = min(div, max(gd // 2, 4))  # earlier gates: denser live sets
+    if quality and gdq < 24:
+        div = min(div, max(gdq // 2, 2))
     cs = max(v // div, -(-rec1_cap // 2))
     if small_on and cs < pair_cap:
         live = jnp.sum(jnp.isfinite(st.ew[:pair_cap]).astype(jnp.int32))
@@ -1337,7 +1351,8 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
     levels = jnp.zeros((n_levels, h, w), jnp.int32)
     # same gate as _stage_g (incl. GSEG_GATE_DIV) so hierarchy levels
     # keep corresponding to segment_turbo's internal rounds.
-    gate_c = v // 32 if cfg.weight_buckets > 0 else v // _gate_div()
+    gate_c = (v // _gate_div_q() if cfg.weight_buckets > 0
+              else v // _gate_div())
 
     def advance(s, s2):
         more = s.bucket + 1 < nb
