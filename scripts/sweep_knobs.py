@@ -37,6 +37,9 @@ CONFIGS = {
     "tlate16": {"GSEG_T_LATE": "16"},
     "tlate32": {"GSEG_T_LATE": "32"},
     "closures": {"GSEG_LATE_CLOSURES": "1"},
+    # quality-mode (run with --wb16):
+    "gateq16": {"GSEG_GATE_DIV_Q": "16"},
+    "gateq8": {"GSEG_GATE_DIV_Q": "8"},
 }
 
 CHILD = r"""
@@ -52,7 +55,8 @@ from gseg_tpu.models.turbo import segment_turbo, segment_turbo_flagged
 from gseg_tpu.utils.synthetic import blobs_image
 
 h, w = %(h)d, %(w)d
-cfg = SegmentationConfig(sigma=0.8, k=300.0, min_size=100, max_iters=32)
+cfg = SegmentationConfig(sigma=0.8, k=300.0, min_size=100, max_iters=32,
+                         weight_buckets=%(wb)d)
 img = jax.device_put(jnp.asarray(
     blobs_image(h, w, num_blobs=max(8, (h * w) // 65536), noise=8.0, seed=0)))
 t0 = time.time()
@@ -94,7 +98,8 @@ from gseg_tpu.utils.synthetic import blobs_image
 
 h, w = %(h)d, %(w)d
 img = blobs_image(h, w, num_blobs=max(8, (h * w) // 65536), noise=8.0, seed=0)
-cfg = SegmentationConfig(sigma=0.8, k=300.0, min_size=100, max_iters=32)
+cfg = SegmentationConfig(sigma=0.8, k=300.0, min_size=100, max_iters=32,
+                         weight_buckets=%(wb)d)
 np.save(%(path)r, canonical_min_labels_np(segment_boruvka_np(img, cfg)))
 print("oracle saved")
 """
@@ -114,20 +119,25 @@ def main():
     ap.add_argument("--timeout", type=int, default=3600)
     ap.add_argument("--out", default="bench_out/sweep.jsonl")
     ap.add_argument("--no-oracle", action="store_true")
+    ap.add_argument("--wb16", action="store_true",
+                    help="sweep quality mode (weight_buckets=16)")
     args = ap.parse_args()
+    wb = 16 if args.wb16 else 0
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     for sh in args.shapes.split(","):
         h, w = (int(x) for x in sh.split("x"))
         oracle_path = ""
         if not args.no_oracle:
             oracle_path = os.path.join(
-                os.path.dirname(args.out), f"oracle_bench_{h}x{w}.npy")
+                os.path.dirname(args.out),
+                f"oracle_bench_{h}x{w}_wb{wb}.npy")
             if not os.path.exists(oracle_path):
                 print(f"[oracle] computing {h}x{w} on host "
                       "(one-time, cached)", flush=True)
                 p = subprocess.run(
                     [sys.executable, "-c", ORACLE_CHILD % {
-                        "repo": REPO, "h": h, "w": w, "path": oracle_path}],
+                        "repo": REPO, "h": h, "w": w, "path": oracle_path,
+                        "wb": wb}],
                     env=_clean_env({}), timeout=14400)
                 if p.returncode != 0:
                     print(f"[oracle] FAILED for {h}x{w}; rows will carry "
@@ -136,7 +146,7 @@ def main():
         for name in args.configs.split(","):
             knobs = CONFIGS[name]
             src = CHILD % {"repo": REPO, "h": h, "w": w, "reps": args.reps,
-                           "oracle": oracle_path}
+                           "oracle": oracle_path, "wb": wb}
             t0 = time.time()
             try:
                 p = subprocess.run([sys.executable, "-c", src],
@@ -153,7 +163,8 @@ def main():
             except subprocess.TimeoutExpired:
                 row = {"error": f"timeout {args.timeout}s"}
             row.update({"config": name, "knobs": knobs, "height": h,
-                        "width": w, "wall_s": round(time.time() - t0, 1)})
+                        "width": w, "weight_buckets": wb,
+                        "wall_s": round(time.time() - t0, 1)})
             print(json.dumps(row), flush=True)
             with open(args.out, "a") as f:
                 f.write(json.dumps(row) + "\n")
