@@ -81,6 +81,15 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _q_closures() -> bool:
+    """Quality mode keeps the scan-closure kernels (thin high-diameter
+    components) — they dominate its compile cost (22 vs 9 Mosaic kernel
+    instantiations). GSEG_Q_CLOSURES=0 A/Bs the closure-free quality
+    program: with an early quality gate the high-diameter rounds move to
+    compact space, and an unconverged step-only flood still flags."""
+    return os.environ.get("GSEG_Q_CLOSURES", "1") == "1"
+
+
 def _gate_div_q() -> int:
     """Quality-mode gossip->stage-2 handoff density (default V/32). The
     bucket ramp makes quality gossip run >= nb rounds; stage 2 implements
@@ -878,6 +887,7 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
             return advance(s, _ground(
                 s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
                 tau=thresholds[s.bucket], sizes="count",
+                closures=_q_closures(),
             ))
 
         # two peel rounds in ONE while_loop (a single traced _ground body
@@ -904,7 +914,8 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
             s, rl = c
             s2, rl2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size,
                               "felz", max_sweeps, tau=thresholds[s.bucket],
-                              rlist=rl, sizes="rlist")
+                              rlist=rl, sizes="rlist",
+                              closures=_q_closures())
             return advance(s, s2), rl2
 
         gst, _ = _rlist_loop(gcond, gbody, gst, rlist, vid,
@@ -1300,7 +1311,7 @@ def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
     st, rm, r0 = _extract_stage(gst, weights, cfg)
     st = _s2_stage(st, v, cfg, thresholds, nb)
     labels, fm_unconv = _final_map(gst, st, rm, r0, 4 * (h + w),
-                                   closures=cfg.weight_buckets > 0)
+                                   closures=cfg.weight_buckets > 0 and _q_closures())
     flags = st.flags | jnp.where(
         fm_unconv, jnp.int32(FLAG_GOSSIP_UNCONVERGED), jnp.int32(0)
     )
@@ -1363,7 +1374,7 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
 
     # peel the first two rounds (counting-scatter sizes; see _stage_g),
     # in one while_loop (single traced _ground body — compile cost).
-    use_closures = cfg.weight_buckets > 0
+    use_closures = cfg.weight_buckets > 0 and _q_closures()
 
     def pcond(c):
         s = c[0]
@@ -1519,7 +1530,7 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
             from ..ops.pallas import gossip as pg
 
             lab, unconv, _ = pg.value_flood(gst.L, seed, max_sweeps,
-                                            closures=cfg.weight_buckets > 0)
+                                            closures=cfg.weight_buckets > 0 and _q_closures())
         else:
             lab, unconv = _value_flood(gst.L, seed, max_sweeps)
         return lab, unconv

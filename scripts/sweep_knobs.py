@@ -40,6 +40,8 @@ CONFIGS = {
     # quality-mode (run with --wb16):
     "gateq16": {"GSEG_GATE_DIV_Q": "16"},
     "gateq8": {"GSEG_GATE_DIV_Q": "8"},
+    "qnoclosures": {"GSEG_Q_CLOSURES": "0"},
+    "gateq8nc": {"GSEG_GATE_DIV_Q": "8", "GSEG_Q_CLOSURES": "0"},
 }
 
 CHILD = r"""
