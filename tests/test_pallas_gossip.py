@@ -294,3 +294,41 @@ def test_multistrip_flood_at_larger_t(monkeypatch, t):
         )
     assert np.array_equal(np.asarray(rL), np.asarray(gL))
     assert np.array_equal(np.asarray(rI), np.asarray(gI))
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_multistrip_flood_fuzz(seed):
+    """Randomized multi-strip fuzz for the dist-free flood: random label
+    fields (many small components) + random extra allow bits (mutually
+    symmetrized, in-bounds) at heights above the 72-row strip floor, so
+    strip-edge halo and wrap masking face irregular content, not just the
+    deterministic stripe pattern of the wrap regression test."""
+    import gseg_tpu.ops.grid_graph as gg
+
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(90, 200))
+    w = int(rng.integers(100, 260))
+    L = jnp.asarray(rng.integers(0, 37, (h, w)).astype(np.int32))
+    idf = jnp.asarray(rng.uniform(0, 5, (h, w)).astype(np.float32))
+    Lc0 = jnp.asarray(rng.integers(0, 1 << 20, (h, w)).astype(np.int32))
+    ms = 4 * (h + w)
+    nbrL = jnp.stack([gg.shift_plane(L, dy, dx, -1) for dy, dx in gg.DIRS8])
+    same = [nbrL[d] == L for d in range(8)]
+    # extra random merge-mark bits, symmetrized (allow must be mutual and
+    # never point out of bounds — the producer guarantees this in turbo).
+    extra = [np.asarray(rng.uniform(0, 1, (h, w)) < 0.04) for _ in range(4)]
+    allow_l = list(same)
+    for d in range(4):
+        dy, dx = gg.DIRS8[d]
+        inb = np.asarray(gg.valid_plane(h, w, dy, dx))
+        m = jnp.asarray(extra[d] & inb)
+        allow_l[d] = allow_l[d] | m
+        allow_l[d + 4] = allow_l[d + 4] | jnp.asarray(
+            np.asarray(gg.shift_plane(m, -dy, -dx, False)))
+    rL, rI, _ = turbo._label_gossip_nd(Lc0, allow_l, idf, ms)
+    with pltpu.force_tpu_interpret_mode():
+        gL, gI, _, _ = pg.label_flood(
+            pg.pack_allow_bits(allow_l), Lc0, idf, ms, closures=False
+        )
+    assert np.array_equal(np.asarray(rL), np.asarray(gL))
+    assert np.array_equal(np.asarray(rI), np.asarray(gI))
