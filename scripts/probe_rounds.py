@@ -73,7 +73,7 @@ def main(h=1080, w=1920):
 
     ground_sub = jax.jit(lambda s: turbo._ground(
         s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", ms,
-        sizes="count", size_cap=max(v // 2, 16384)))
+        sizes="count"))
     g1 = timeit("round1 (count) ", ground_sub, gst)
     g2 = timeit("round2 (count) ", ground_sub, g1)
     build = jax.jit(functools.partial(
