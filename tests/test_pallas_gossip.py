@@ -332,3 +332,50 @@ def test_multistrip_flood_fuzz(seed):
         )
     assert np.array_equal(np.asarray(rL), np.asarray(gL))
     assert np.array_equal(np.asarray(rI), np.asarray(gI))
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_multistrip_variant_fuzz(seed):
+    """Multi-strip fuzz for the remaining kernel variants (compmin, value
+    flood, subtree sums) — random irregular fields above the 72-row strip
+    floor, bit-equal to the XLA sweeps."""
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(90, 190))
+    w = int(rng.integers(100, 240))
+    ms = 4 * (h + w)
+    L = jnp.asarray(rng.integers(0, 29, (h, w)).astype(np.int32))
+    bw = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    be = jnp.asarray(rng.integers(0, 10_000, (h, w)).astype(np.int32))
+    sz = jnp.asarray(rng.integers(1, 9, (h, w)).astype(np.int32))
+    ref = turbo._compmin_gossip(L, bw, be, sz, ms)
+    with pltpu.force_tpu_interpret_mode():
+        got = pg.compmin_gossip(L, bw, be, sz, ms, closures=False)
+    for r, g in zip(ref, got):
+        assert np.array_equal(np.asarray(r), np.asarray(g))
+
+    seedv = jnp.asarray(
+        rng.integers(0, 1 << 20, (h, w)).astype(np.int32))
+    rv, runc = turbo._value_flood(L, seedv, ms)
+    with pltpu.force_tpu_interpret_mode():
+        gv, gunc, _ = pg.value_flood(L, seedv, ms, closures=False)
+    assert np.array_equal(np.asarray(rv), np.asarray(gv))
+
+    # subtree sums need a consistent parent-dir field: derive from a BFS
+    # dist like production (_subtree_sizes) on same-label adjacency.
+    dist = _bfs_dist(L, jnp.arange(h * w, dtype=jnp.int32).reshape(h, w),
+                     ms)
+    import gseg_tpu.ops.grid_graph as gg
+
+    nL = [gg.shift_plane(L, dy, dx, -1) for dy, dx in gg.DIRS8]
+    nd = [gg.shift_plane(dist, dy, dx, turbo.BIGDIST) for dy, dx in
+          gg.DIRS8]
+    pdir = jnp.full((h, w), jnp.int32(8))
+    for d in range(7, -1, -1):
+        ok = ((nL[d] == L) & (nd[d] == dist - 1) & (dist > 0)
+              & (dist < turbo.BIGDIST))
+        pdir = jnp.where(ok, jnp.int32(d), pdir)
+    s0 = jnp.ones((h, w), jnp.int32)
+    rs, _ = turbo._subtree_sizes(L, dist, ms)
+    with pltpu.force_tpu_interpret_mode():
+        gs, _ = pg.subtree_sums(pdir, s0, ms)
+    assert np.array_equal(np.asarray(rs), np.asarray(gs))
