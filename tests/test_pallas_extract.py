@@ -53,12 +53,16 @@ def _reference_pairs(L, weights):
 
 
 @pytest.mark.parametrize("shape,ncomp", [((13, 70), 5), ((24, 150), 9),
-                                         ((8, 128), 3)])
+                                         ((8, 128), 3),
+                                         # multi-strip (strip rows <= 64);
+                                         # random labels make ~every edge a
+                                         # boundary, so size the pool for 4V
+                                         ((150, 140), 11)])
 def test_boundary_extract_lossless(shape, ncomp):
     h, w = shape
     rng = np.random.default_rng(h * 31 + w)
     L, weights = _dense_planes(rng, h, w, ncomp)
-    cap = 1 << 14
+    cap = 1 << 14 if h * w <= 4096 else 1 << 17
 
     with pltpu.force_tpu_interpret_mode():
         lo, hi, wv, eid, count, overflow = boundary_extract(
