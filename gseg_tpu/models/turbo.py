@@ -820,22 +820,24 @@ def _rlist_loop(gcond, gbody, gst, rlist, vid, rcap2):
     count only decreases, so the two-loop sequence executes exactly the
     rounds the single loop would. GSEG_RLIST_SPLIT=0 disables.
     """
-    rcap = rlist.shape[0]
-    if os.environ.get("GSEG_RLIST_SPLIT", "1") != "1" or rcap2 >= rcap:
+    caps = rcap2 if isinstance(rcap2, (list, tuple)) else [rcap2]
+    if os.environ.get("GSEG_RLIST_SPLIT", "1") != "1":
         return jax.lax.while_loop(gcond, gbody, (gst, rlist))
+    caps = [c for c in caps if c < rlist.shape[0]]
+    for cap in caps:
+        def cond1(c, cap=cap):
+            cnt = jnp.sum((c[0].L == vid).astype(jnp.int32))
+            return gcond(c) & (cnt > cap)
 
-    def cond1(c):
-        cnt = jnp.sum((c[0].L == vid).astype(jnp.int32))
-        return gcond(c) & (cnt > rcap2)
-
-    gst, rlist = jax.lax.while_loop(cond1, gbody, (gst, rlist))
-    # The list is sorted-unique but NOT front-compacted (dead slots stay
-    # interleaved where merged roots used to sit): one pool sort moves the
-    # INT32_MAX dead slots to the tail, then the slice holds every live
-    # root (cond1's exit guarantees live <= rcap2 whenever another round
-    # will run; if gcond is already false, loop 2 never reads the slice).
-    rlist2 = jax.lax.sort((rlist,))[0][:rcap2]
-    return jax.lax.while_loop(gcond, gbody, (gst, rlist2))
+        gst, rlist = jax.lax.while_loop(cond1, gbody, (gst, rlist))
+        # The list is sorted-unique but NOT front-compacted (dead slots
+        # stay interleaved where merged roots used to sit): one pool sort
+        # moves the INT32_MAX dead slots to the tail, then the slice holds
+        # every live root (cond1's exit guarantees live <= cap whenever
+        # another round will run; if gcond is already false, the next
+        # loop never reads the slice).
+        rlist = jax.lax.sort((rlist,))[0][:cap]
+    return jax.lax.while_loop(gcond, gbody, (gst, rlist))
 
 
 def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
@@ -894,11 +896,12 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
         # instead of two unrolled copies — compile cost).
         gst = jax.lax.while_loop(pcond, pbody, gst)
         # the bucket ramp merges slowly by design: after two rounds the
-        # component count can still be ~V/3, so the root list needs
-        # pixel-scale capacity (the slow-but-exact path). Below 1 MPix the
-        # full-V list is cheap and cannot overflow (tight-k configs on the
-        # 161x241 quality set exceeded V/2 live roots and fell back).
-        rcap = v if v <= 1 << 20 else max(v // 2, 16384)
+        # component count can still be ~0.8 V (measured overflowing the
+        # old v/2 cap at 1080p bench config), so the root list gets FULL
+        # pixel capacity at every size; the tiered sliced loops below keep
+        # the per-round _rlist_sizes cost tracking the live count as the
+        # ramp merges.
+        rcap = v
         rlist, rovf = _build_rlist(gst.L, rcap)
         gst = gst._replace(
             flags=gst.flags
@@ -918,8 +921,10 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
                               closures=_q_closures())
             return advance(s, s2), rl2
 
-        gst, _ = _rlist_loop(gcond, gbody, gst, rlist, vid,
-                             max(v // 16, _RLIST_FLOOR))
+        gst, _ = _rlist_loop(
+            gcond, gbody, gst, rlist, vid,
+            [max(v // 4, _RLIST_FLOOR), max(v // 16, _RLIST_FLOOR)],
+        )
         return gst, weights, thresholds
 
     # PLAIN MODE. Diameters grow ~geometrically per round, and with them
@@ -1195,7 +1200,7 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     # one warmup round shrinks live pairs ~4x (quality mode merges slower
     # under the bucket ramp: keep two rounds and a larger recompact cap).
     warm_rounds = 2 if quality else 1
-    rec1_cap = max(v // min(16, max(gdq // 2, 2)) if quality
+    rec1_cap = max(v // min(8, max(gdq // 4, 2)) if quality
                    else v // min(64, max(gd // 2, 4)), 16384)
 
     def early(s: CompactState) -> CompactState:
@@ -1391,7 +1396,10 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
         return s, levels.at[jnp.minimum(it0, n_levels - 1)].set(s.L)
 
     gst, levels = jax.lax.while_loop(pcond, pbody, (gst, levels))
-    rcap = v if v <= 1 << 20 else max(v // 2, 16384)
+    # quality: pixel-scale root list (the bucket ramp can leave ~0.8V live
+    # roots after the peel rounds — same fix as _stage_g).
+    rcap = (v if v <= 1 << 20 or cfg.weight_buckets > 0
+            else max(v // 2, 16384))
     rlist, rovf = _build_rlist(gst.L, rcap)
     gst = gst._replace(
         flags=gst.flags
