@@ -921,10 +921,13 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
                               closures=_q_closures())
             return advance(s, s2), rl2
 
-        gst, _ = _rlist_loop(
-            gcond, gbody, gst, rlist, vid,
-            [max(v // 4, _RLIST_FLOOR), max(v // 16, _RLIST_FLOOR)],
-        )
+        # tier ladder: each extra tier cuts per-round root-list cost while
+        # live counts sit between tiers, but instantiates another loop's
+        # kernel set (quality compiles are Mosaic-bound — default lean).
+        tiers = [max(v // int(d), _RLIST_FLOOR)
+                 for d in os.environ.get(
+                     "GSEG_RLIST_TIERS_Q", "16").split(",")]
+        gst, _ = _rlist_loop(gcond, gbody, gst, rlist, vid, tiers)
         return gst, weights, thresholds
 
     # PLAIN MODE. Diameters grow ~geometrically per round, and with them
