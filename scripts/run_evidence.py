@@ -53,7 +53,9 @@ LADDERS = [
     # full-pipeline XLA+Mosaic compile at 33 MPix is multi-hour cold) —
     # must not starve the cheap ladders. Per-rung checkpointing means a
     # killed campaign keeps everything already measured.
-    ("turbo_wb16", [0, 2, 4], {"weight_buckets": 16}, "blobs"),
+    # judged rungs (1080p, 4K) first — 540p last, skippable if the
+    # campaign runs out of time (wb16 compiles are the long pole).
+    ("turbo_wb16", [2, 4, 0], {"weight_buckets": 16}, "blobs"),
     ("turbo", [6], {}, "blobs"),
 ]
 
