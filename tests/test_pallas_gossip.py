@@ -379,3 +379,27 @@ def test_multistrip_variant_fuzz(seed):
     with pltpu.force_tpu_interpret_mode():
         gs, _ = pg.subtree_sums(pdir, s0, ms)
     assert np.array_equal(np.asarray(rs), np.asarray(gs))
+
+
+@pytest.mark.parametrize("w", [3840, 5120, 7680])
+def test_ladder_width_flood(w):
+    """Ladder-width kernel configuration (wp lane tiling, strip sizing,
+    T=16 at w>=2560) at multi-strip height, bit-equal to the XLA sweeps —
+    pre-validates the 4K/5K/8K rungs' kernel config logic in interpret
+    mode before hardware pays their Mosaic compiles."""
+    import gseg_tpu.ops.grid_graph as gg
+
+    h = 160
+    rng = np.random.default_rng(w)
+    L = jnp.asarray(rng.integers(0, 23, (h, w)).astype(np.int32))
+    idf = jnp.asarray(rng.uniform(0, 5, (h, w)).astype(np.float32))
+    Lc0 = jnp.asarray(rng.integers(0, 1 << 20, (h, w)).astype(np.int32))
+    ms = 2 * (h + w)
+    nbrL = [gg.shift_plane(L, dy, dx, -1) for dy, dx in gg.DIRS8]
+    allow = [nbrL[d] == L for d in range(8)]
+    rL, rI, _ = turbo._label_gossip_nd(Lc0, allow, idf, ms)
+    with pltpu.force_tpu_interpret_mode():
+        gL, gI, _, _ = pg.label_flood(
+            pg.pack_allow_bits(allow), Lc0, idf, ms, closures=False)
+    assert np.array_equal(np.asarray(rL), np.asarray(gL))
+    assert np.array_equal(np.asarray(rI), np.asarray(gI))
