@@ -1416,9 +1416,13 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
 
     def gbody(c):
         s, levels, rl = c
+        # mirror _stage_g's gbody2: speed mode honors GSEG_LATE_CLOSURES so
+        # the capture compiles the same gossip program under knob A/Bs.
+        late = (use_closures if cfg.weight_buckets > 0
+                else os.environ.get("GSEG_LATE_CLOSURES") == "1")
         s2, rl2 = _ground(s, w8, eid8, vid, cfg.k, cfg.min_size, "felz",
                           max_sweeps, tau=thresholds[s.bucket], rlist=rl,
-                          sizes="rlist", closures=use_closures)
+                          sizes="rlist", closures=late)
         s2 = advance(s, s2)
         levels = levels.at[jnp.minimum(s.it, n_levels - 1)].set(s2.L)
         return s2, levels, rl2

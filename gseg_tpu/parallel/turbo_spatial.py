@@ -24,8 +24,15 @@ tests/test_parallel.py asserts equality on an 8-device CPU mesh.
 
 Memory note: stage 2 replicates (V,)-sized stat arrays per device, so this
 path shards COMPUTE and the dense stage-G working set (the dominant term),
-not the final V-sized vectors. Quality mode (weight_buckets) is not routed
-spatially yet; use the dense path for it.
+not the final V-sized vectors: the per-device footprint is
+O(V/n_dev * planes) for the sharded stage-G fields plus O(V) int32/f32 for
+the replicated stage-2 pools, so the replicated term caps the max image at
+roughly the single-chip HBM ceiling (~16 GB v5e: ~hundreds of MPix for the
+~6 V-sized vectors) — compute scales with the mesh, peak memory does not.
+Quality mode (weight_buckets > 0) IS routed spatially: bucket thresholds
+are sampled from gathered global weight planes with the dense arithmetic,
+and tests/test_parallel.py asserts equality with the dense path in both
+modes.
 """
 
 from __future__ import annotations
@@ -190,10 +197,13 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
         merged=jnp.bool_(True), it=jnp.int32(0), bucket=jnp.int32(0),
         flags=jnp.int32(0),
     )
-    # same handoff gates as the dense path (models/turbo.py _stage_g); the
-    # sizes scheme differs (subsum convergecast works under halo exchange)
-    # but every scheme computes exact sizes, so the partition is identical.
-    gate_c = v // 32 if cfg.weight_buckets > 0 else v // 128
+    # same handoff gates as the dense path (models/turbo.py _stage_g,
+    # including the GSEG_GATE_DIV / GSEG_GATE_DIV_Q knobs, so A/B sweeps
+    # exercise this path too); the sizes scheme differs (subsum convergecast
+    # works under halo exchange) but every scheme computes exact sizes, so
+    # the partition is identical.
+    gate_c = (v // turbo._gate_div_q() if cfg.weight_buckets > 0
+              else v // turbo._gate_div())
 
     def advance(s, s2):
         # quality mode: the bucket cap advances one bucket per round; keep
@@ -228,10 +238,13 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
     lo = jnp.where(live4, jnp.minimum(la, lb), INT32_MAX)
     hi = jnp.where(live4, jnp.maximum(la, lb), INT32_MAX)
     # quality mode hands off at v/32 components with near-pixel-scale
-    # boundaries (the dense path's measured "sponge" finding): mirror its
-    # larger pool caps (dense _extract_stage: v//6 vs v//24).
-    cap_loc = max(v_loc // 3 if cfg.weight_buckets > 0 else v_loc // 12,
-                  16384)
+    # boundaries (the dense path's measured "sponge" finding): mirror the
+    # dense gate-scaled pool divisors (_extract_stage), halved locally for
+    # cross-tile duplicate headroom.
+    pair_div = (min(6, max(turbo._gate_div_q() // 5, 2))
+                if cfg.weight_buckets > 0
+                else min(24, max(turbo._gate_div() // 4, 3)))
+    cap_loc = max(v_loc // max(pair_div // 2, 1), 16384)
     pm_l, plo_l, phi_l, pw_l, pe_l, ovf_l = turbo._chunked_pair_extract(
         lo, hi, ew4, eid4, cap_loc
     )
@@ -244,7 +257,7 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
     )
     # global flat dedup of the gathered pools (pair minima are exact within
     # tiles; cross-tile duplicates resolve here).
-    pair_cap = max(v // 6 if cfg.weight_buckets > 0 else v // 24, 16384)
+    pair_cap = max(v // pair_div, 16384)
     s_lo, s_hi, s_w, s_e = jax.lax.sort((g_lo, g_hi, g_w, g_e), num_keys=4)
     head = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_),
@@ -261,7 +274,10 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
     ew = jnp.concatenate([pw, pw])
     eeid = jnp.concatenate([pe, pe])
 
-    comp_cap = max(v // 24 if cfg.weight_buckets > 0 else v // 96, 16384)
+    comp_cap = max(
+        v // (min(24, max(turbo._gate_div_q() * 3 // 4, 2))
+              if cfg.weight_buckets > 0
+              else min(96, max(turbo._gate_div() * 3 // 4, 2))), 16384)
     srt_src = jax.lax.sort(
         (jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),)
     )[0]
