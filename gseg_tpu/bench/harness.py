@@ -138,6 +138,34 @@ def segment_fn(algorithm: str, cfg: SegmentationConfig, checked: bool = True):
     raise ValueError(f"unknown algorithm {algorithm!r}")
 
 
+def segment_level_fn(algorithm: str, cfg: SegmentationConfig,
+                     level: int = 4):
+    """Hierarchy-level-`level` segmentation callable (reference quality
+    protocol: BSDS500 scored at hierarchy level 4, report-extract
+    651-658). Hierarchy algorithms return the captured level-`level` label
+    map (clamped to the last level); single-level algorithms (atomic,
+    CPU baselines) return their final labels, as in the reference."""
+
+    def pick(levels, level):
+        return levels[min(level, levels.shape[0] - 1)]
+
+    if algorithm == "turbo":
+        from ..models.turbo import segment_turbo_hierarchy
+
+        return lambda img: pick(segment_turbo_hierarchy(img, cfg)[0], level)
+    if algorithm == "fastmst":
+        from ..models.fastmst import segment_fastmst_hierarchy
+
+        return lambda img: pick(segment_fastmst_hierarchy(img, cfg)[0],
+                                level)
+    if algorithm == "superpixel":
+        from ..models.superpixel import segment_superpixel_hierarchy
+
+        return lambda img: pick(segment_superpixel_hierarchy(img, cfg)[0],
+                                level)
+    return segment_fn(algorithm, cfg)
+
+
 def prep_fn(cfg: SegmentationConfig):
     """Jitted filter + graph-creation stage (for phase attribution)."""
     import functools

@@ -16,7 +16,7 @@ from typing import Iterator, List, Tuple
 
 import numpy as np
 
-from .synthetic import blobs_ground_truth, blobs_image
+from .synthetic import blobs_ground_truth, blobs_image, bsds_like_scene
 
 Sample = Tuple[str, np.ndarray, List[np.ndarray]]
 
@@ -55,6 +55,19 @@ def load_bsds500(root: str, split: str = "val", limit: int | None = None
 
 def bsds500_available(root: str | None) -> bool:
     return bool(root) and os.path.isdir(os.path.join(root, "images"))
+
+
+def bsds_like_quality_set(n: int = 20, h: int = 321, w: int = 481,
+                          seed0: int = 0) -> Iterator[Sample]:
+    """BSDS500-protocol stand-in: 481x321 photo-like scenes, each with
+    MULTIPLE pseudo-ground-truths at annotator-like granularities (see
+    utils/synthetic.py:bsds_like_scene). Same (name, image, gts) interface
+    as load_bsds500, so the exact reference scoring path (K=80, hierarchy
+    level 4, ASA-maximizing GT — report-extract.txt:651-658, 608-611) runs
+    unchanged when the real dataset is absent."""
+    for seed in range(seed0, seed0 + n):
+        img, gts = bsds_like_scene(h, w, seed=seed)
+        yield f"bsdslike{seed:03d}", img, gts
 
 
 def synthetic_quality_set(n: int = 20, h: int = 161, w: int = 241,

@@ -230,6 +230,7 @@ def bsds_like_scene(h: int = 321, w: int = 481, n_regions: int = 90,
     gts = [_warp_labels(g, yy0, xx0, amp=4.0,
                         rng=np.random.default_rng(seed * 1000 + 77 + i))
            for i, g in enumerate(gts)]
+    gts.sort(key=lambda g: len(np.unique(g)))   # coarse -> fine
     return img, gts
 
 

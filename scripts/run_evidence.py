@@ -156,11 +156,58 @@ def section_quality(out_dir: str) -> list:
     return rows
 
 
+def section_bsds_quality(out_dir: str) -> list:
+    """The reference's ACTUAL quality protocol (Report §4.2): 481x321
+    images with multiple ground truths, K=80 / min_size=100, hierarchy
+    level 4 for hierarchy algorithms, ASA-maximizing GT. BSDS500 itself is
+    unobtainable here (zero egress); if GSEG_BSDS_ROOT points at a real
+    BSDS500 tree it is used, else the bsds_like pseudo-GT stand-in
+    (utils/synthetic.py:bsds_like_scene) runs the identical protocol."""
+    from gseg_tpu.metrics.compare import asa_ue_best_gt
+    from gseg_tpu.utils import datasets
+    from gseg_tpu.utils.labels import compact_labels_np
+
+    import jax.numpy as jnp
+
+    root = os.environ.get("GSEG_BSDS_ROOT")
+    if datasets.bsds500_available(root):
+        samples = list(datasets.load_bsds500(root, split="val"))
+        source = "bsds500"
+    else:
+        samples = list(datasets.bsds_like_quality_set(n=20))
+        source = "bsds_like"
+    rows = []
+    for name, extra in QUALITY_ALGOS:
+        cfg = SegmentationConfig(k=80.0, min_size=100,
+                                 on_overflow="fallback", **extra)
+        fn = harness.segment_level_fn(base_algo(name), cfg, level=4)
+        t0 = time.time()
+        for iname, image, gts in samples:
+            try:
+                labels = np.asarray(fn(jnp.asarray(image)))
+            except Exception as e:
+                rows.append({"image": iname, "algorithm": name,
+                             "source": source,
+                             "error": str(e).splitlines()[0][:300]})
+                print(f"[bsds] {name}@{iname} FAILED", flush=True)
+                continue
+            asa, ue = asa_ue_best_gt(compact_labels_np(labels), gts)
+            rows.append({"image": iname, "algorithm": name,
+                         "source": source, "asa": asa, "ue": ue})
+        scored = [r["asa"] for r in rows
+                  if r["algorithm"] == name and "asa" in r]
+        if scored:
+            print(f"[bsds] {name}: ASA median {np.median(scored):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="bench_out")
     ap.add_argument("--force", action="store_true")
-    ap.add_argument("--sections", default="perf,fig3,quality,batch,plots")
+    ap.add_argument("--sections",
+                    default="perf,fig3,quality,bsds,batch,plots")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     sections = args.sections.split(",")
@@ -184,6 +231,13 @@ def main():
     if "quality" in sections and (args.force or not _done(qual_path)):
         rows = section_quality(args.out)
         with open(qual_path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    bsds_path = os.path.join(args.out, "bsds_quality.jsonl")
+    if "bsds" in sections and (args.force or not _done(bsds_path)):
+        rows = section_bsds_quality(args.out)
+        with open(bsds_path, "w") as f:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
 
@@ -239,6 +293,12 @@ def main():
                                os.path.join(args.out, "quality.png"))
             plots.plot_quality_cdf(qual_rows,
                                    os.path.join(args.out, "quality_cdf.png"))
+        bsds_rows = _load(bsds_path)
+        if bsds_rows:
+            plots.plot_quality(bsds_rows,
+                               os.path.join(args.out, "bsds_quality.png"))
+            plots.plot_quality_cdf(
+                bsds_rows, os.path.join(args.out, "bsds_quality_cdf.png"))
         print("[plots] written", flush=True)
 
 
