@@ -26,6 +26,8 @@ mkdir -p bench_out
   # AND carries oracle_equal=true at BOTH shapes. Before making any knob
   # a code default, also rerun scripts/check_tpu_parity.py with that env.
 
-  echo "=== 3. evidence campaign (perf ladders + batch + plots)"
-  timeout 36000 python scripts/run_evidence.py --sections perf,batch,plots
+  echo "=== 3. evidence campaign (perf ladders + batch + BSDS-protocol"
+  echo "       quality + plots; perf checkpoints per rung, 8K last)"
+  timeout 36000 python scripts/run_evidence.py \
+      --sections perf,batch,bsds,plots
 } 2>&1 | tee "$LOG"

@@ -42,10 +42,30 @@ enable_persistent_cache()
 
 
 def main():
-    shape = os.environ.get("GSEG_SP_SHAPE", "540x960")
-    h, w = (int(t) for t in shape.split("x"))
-    mesh = Mesh(np.array(jax.devices("cpu")[:8]).reshape(8), ("space",))
+    # 540 rows shard over 4 devices (540 % 8 != 0); the 720p rung uses the
+    # full 8-device mesh. GSEG_SP_SHAPE=HxWxN overrides.
+    ov = os.environ.get("GSEG_SP_SHAPE")
+    if ov:
+        hh, ww, nn = (int(t) for t in ov.split("x"))
+        plan = [(hh, ww, nn)]
+    else:
+        plan = [(540, 960, 4), (720, 1280, 8)]
     rows = []
+    ok_all = True
+    for h, w, n_dev in plan:
+        mesh = Mesh(np.array(jax.devices("cpu")[:n_dev]).reshape(n_dev),
+                    ("space",))
+        ok_all &= run_shape(h, w, n_dev, mesh, rows)
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_out", "spatial_parity.json")
+    with open(out, "w") as f:
+        json.dump({"mesh": "virtual CPU devices", "rows": rows,
+                   "ok": ok_all}, f, indent=1)
+    print("OK" if ok_all else "MISMATCH")
+    sys.exit(0 if ok_all else 1)
+
+
+def run_shape(h, w, n_dev, mesh, rows):
     ok_all = True
     for content in ("blobs", "textured"):
         img_np = (blobs_image(h, w, num_blobs=max(8, (h * w) // 65536),
@@ -65,20 +85,14 @@ def main():
             t_sp = time.time() - t0
             equal = bool((dense == sp).all())
             ok_all &= equal and int(dflags) == 0 and int(sflags) == 0
-            row = {"content": content, "h": h, "w": w,
+            row = {"content": content, "h": h, "w": w, "n_dev": n_dev,
                    "weight_buckets": wb, "equal": equal,
                    "dense_flags": int(dflags), "spatial_flags": int(sflags),
                    "dense_s": round(t_dense, 1),
                    "spatial_s": round(t_sp, 1)}
             rows.append(row)
             print("RESULT", json.dumps(row), flush=True)
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "bench_out", "spatial_parity.json")
-    with open(out, "w") as f:
-        json.dump({"mesh": "8-device virtual CPU", "rows": rows,
-                   "ok": ok_all}, f, indent=1)
-    print("OK" if ok_all else "MISMATCH")
-    sys.exit(0 if ok_all else 1)
+    return ok_all
 
 
 if __name__ == "__main__":
