@@ -180,7 +180,16 @@ def section_bsds_quality(out_dir: str) -> list:
     for name, extra in QUALITY_ALGOS:
         cfg = SegmentationConfig(k=80.0, min_size=100,
                                  on_overflow="fallback", **extra)
-        fn = harness.segment_level_fn(base_algo(name), cfg, level=4)
+        # reference protocol: hierarchy level 4 (extract:651-658). Quality
+        # mode's bucket ramp intentionally merges little in the first nb
+        # rounds (level 4 is ~50k 3-px superpixels at 481x321 — measured),
+        # so its levels don't correspond to reference level semantics:
+        # score wb16 on its FINAL partition and record which was used.
+        level = "final" if extra.get("weight_buckets") else 4
+        if level == "final":
+            fn = harness.segment_fn(base_algo(name), cfg)
+        else:
+            fn = harness.segment_level_fn(base_algo(name), cfg, level=4)
         t0 = time.time()
         for iname, image, gts in samples:
             try:
@@ -193,7 +202,8 @@ def section_bsds_quality(out_dir: str) -> list:
                 continue
             asa, ue = asa_ue_best_gt(compact_labels_np(labels), gts)
             rows.append({"image": iname, "algorithm": name,
-                         "source": source, "asa": asa, "ue": ue})
+                         "source": source, "level": level,
+                         "asa": asa, "ue": ue})
         scored = [r["asa"] for r in rows
                   if r["algorithm"] == name and "asa" in r]
         if scored:
