@@ -85,8 +85,22 @@ def plot_quality_cdf(rows: List[dict], out_path: str):
     return out_path
 
 
-def plot_quality(rows: List[dict], out_path: str):
-    """Fig. 4 style: ASA and UE box plots per algorithm."""
+# Decoded reference Fig. 4 medians on real BSDS500 (docs/figure-data.md) —
+# drawn as context lines. NOTE: our quality sets are synthetic stand-ins
+# (BSDS500 unobtainable, see README caveat); absolute levels are not
+# directly comparable, the between-algorithm ordering/gaps are.
+REFERENCE_QUALITY_MEDIANS = {
+    "ref CPU baseline": {"asa": 0.974, "ue": 0.051},
+    "ref best GPU (GPU baseline)": {"asa": 0.941, "ue": 0.118},
+    "ref DPP superpix": {"asa": 0.929, "ue": 0.142},
+}
+
+
+def plot_quality(rows: List[dict], out_path: str,
+                 reference: Dict[str, Dict[str, float]] | None = None):
+    """Fig. 4 style: ASA and UE box plots per algorithm. `reference`
+    optionally overlays horizontal median context lines (e.g.
+    REFERENCE_QUALITY_MEDIANS — see the synthetic-set caveat there)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -101,6 +115,14 @@ def plot_quality(rows: List[dict], out_path: str):
     ax1.set_ylim(0, 1.05)
     ax2.boxplot(ue, tick_labels=algos)
     ax2.set_title("Undersegmentation Error")
+    if reference:
+        styles = ((":", 0.8), ("--", 0.6), ("-.", 0.5))
+        for (name, med), (ls, al) in zip(reference.items(), styles):
+            ax1.axhline(med["asa"], ls=ls, alpha=al, color="gray",
+                        label=name)
+            ax2.axhline(med["ue"], ls=ls, alpha=al, color="gray",
+                        label=name)
+        ax1.legend(fontsize=7, loc="lower left")
     for ax in (ax1, ax2):
         ax.tick_params(axis="x", rotation=30)
         ax.grid(True, axis="y", alpha=0.3)

@@ -21,7 +21,8 @@ mkdir -p bench_out
   echo "=== 2.5 bounded knob sweep (oracle-checked per config; decides"
   echo "        GSEG_GATE_DIV for the campaign)"
   timeout 14400 python scripts/sweep_knobs.py \
-      --shapes 1080x1920,2160x3840 --configs baseline,nosmall,gate13 || true
+      --shapes 1080x1920,2160x3840 \
+      --configs baseline,nosmall,gate13,gate32 || true
   # Promote a knob into the campaign env ONLY if its sweep row is faster
   # AND carries oracle_equal=true at BOTH shapes. Before making any knob
   # a code default, also rerun scripts/check_tpu_parity.py with that env.

@@ -306,7 +306,8 @@ def main():
         bsds_rows = _load(bsds_path)
         if bsds_rows:
             plots.plot_quality(bsds_rows,
-                               os.path.join(args.out, "bsds_quality.png"))
+                               os.path.join(args.out, "bsds_quality.png"),
+                               reference=plots.REFERENCE_QUALITY_MEDIANS)
             plots.plot_quality_cdf(
                 bsds_rows, os.path.join(args.out, "bsds_quality_cdf.png"))
         print("[plots] written", flush=True)
