@@ -807,6 +807,17 @@ def _prune_dead(st: CompactState, v, k, min_size):
 
 _RLIST_FLOOR = 16384  # min sliced root-list capacity (tests shrink it)
 
+# Min pool/recompact capacity. At bench scale the v-proportional terms
+# dominate and this floor is irrelevant; below ~131k px it swallows every
+# cap, which is exactly why toy-shape CI missed the round-4 spatial
+# quality recompact overflow — bench-scale capacity behavior is NOT
+# reproducible in miniature (small images have proportionally fatter
+# boundary pools), so the per-round bench-scale check
+# scripts/spatial_parity_540p.py is the regression gate for this class.
+# Kept as one named constant (tests may still shrink it to probe
+# overflow flagging at toy shapes).
+_CAP_FLOOR = 16384
+
 
 def _rlist_loop(gcond, gbody, gst, rlist, vid, rcap2):
     """Run the rlist-sized gossip rounds as two while_loops: full root-list
@@ -957,7 +968,7 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
     # C after 2 speed rounds is ~V/13 on blob content (4x decay/round) but
     # content-dependent; V/4 bounds it with margin for noise-heavy inputs
     # (the rlist only shrinks after creation, and overflow is flagged).
-    rcap = max(v // 4, 16384)
+    rcap = max(v // 4, _CAP_FLOOR)
     rlist, rovf = _build_rlist(gst.L, rcap)
     gst = gst._replace(
         flags=gst.flags
@@ -1059,7 +1070,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     # the pair pool with the gate (gd=128 keeps the measured v/24).
     gdq = _gate_div_q()
     pair_cap = max(v // min(6, max(gdq // 5, 2)) if cfg.weight_buckets > 0
-                   else v // min(24, max(gd // 4, 3)), 16384)
+                   else v // min(24, max(gd // 4, 3)), _CAP_FLOOR)
     if _use_pallas():
         # ---- Pallas path: the boundary_extract kernel does the dense ->
         # sparse transition on the VPU (run-dedup + in-VMEM stream
@@ -1128,6 +1139,23 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
         pm, plo, phi, pw, pe, pair_ovf = _chunked_pair_extract(
             lo, hi, ew4, eid4, pair_cap
         )
+    return _pools_to_state(pm, plo, phi, pw, pe, pair_ovf, v, cfg,
+                           gst.S.reshape(-1), gst.ID.reshape(-1),
+                           gst.bucket, gst.flags)
+
+
+def _pools_to_state(pm, plo, phi, pw, pe, pair_ovf, v, cfg,
+                    SZf, IDf, bucket, base_flags):
+    """Deduped pair pool -> two-orientation edge pool + stage-2 entry state.
+
+    Shared tail of dense extraction (_extract_stage) and the spatial
+    path's gathered-pool extraction (parallel/turbo_spatial.py): the
+    stage-2 entry state — INCLUDING the bucket-ramp position — must be
+    built identically on both paths, or their stage-2 schedules drift
+    (round-4 bug: the spatial path reset bucket to 0, replaying the ramp
+    and overflowing the recompact cap at bench scale)."""
+    gd = _gate_div()
+    gdq = _gate_div_q()
     plo = jnp.where(pm, plo, 0)
     phi = jnp.where(pm, phi, 0)
     pw = jnp.where(pm, pw, jnp.inf)
@@ -1142,7 +1170,7 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     # stage 2, so identity entries in the final map are correct for them).
     comp_cap = max(v // min(24, max(gdq * 3 // 4, 2))
                    if cfg.weight_buckets > 0
-                   else v // min(96, max(gd * 3 // 4, 2)), 16384)
+                   else v // min(96, max(gd * 3 // 4, 2)), _CAP_FLOOR)
     srt_src = jax.lax.sort((jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),))[0]
     rhead = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), srt_src[1:] != srt_src[:-1]]
@@ -1151,15 +1179,15 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
     r0 = jnp.where(rm, r0_arr, v)  # v = dummy (dropped in scatters)
 
     flags0 = (
-        gst.flags
+        base_flags
         | jnp.where(pair_ovf, jnp.int32(FLAG_PAIR_OVERFLOW), jnp.int32(0))
         | jnp.where(root_ovf, jnp.int32(FLAG_COMP_OVERFLOW), jnp.int32(0))
     )
     st = CompactState(
         esrc=esrc, edst=edst, ew=ew, eeid=eeid,
-        SZf=gst.S.reshape(-1), IDf=gst.ID.reshape(-1),
+        SZf=SZf, IDf=IDf,
         fin=jnp.where(rm, r0_arr, 0),
-        merged=jnp.bool_(True), it=jnp.int32(0), bucket=gst.bucket,
+        merged=jnp.bool_(True), it=jnp.int32(0), bucket=bucket,
         phase=jnp.int32(0), flags=flags0,
     )
     return st, rm, r0
@@ -1191,7 +1219,7 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
                 else max(v // min(24, max(gdq * 3 // 4, 2))
                          if cfg.weight_buckets > 0
                          else v // min(96, max(gd * 3 // 4, 2)),
-                         16384))
+                         _CAP_FLOOR))
     # NOTE: live head/pair counts do NOT shrink with felz convergence
     # (non-merging components keep live boundary edges and stay heads every
     # round), so the component capacity must hold the stage-entry bound
@@ -1204,7 +1232,7 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
     # under the bucket ramp: keep two rounds and a larger recompact cap).
     warm_rounds = 2 if quality else 1
     rec1_cap = max(v // min(8, max(gdq // 4, 2)) if quality
-                   else v // min(64, max(gd // 2, 4)), 16384)
+                   else v // min(64, max(gd // 2, 4)), _CAP_FLOOR)
 
     def early(s: CompactState) -> CompactState:
         """Warm round(s) + recompact (+ speed mode: 2 rounds, prune, second
@@ -1236,7 +1264,7 @@ def _s2_stage(st: CompactState, v: int, cfg: SegmentationConfig, thresholds,
                       thresholds, nb, with_minsize=False,
                       flag_exhaustion=False)
         s = _prune_dead(s, v, cfg.k, cfg.min_size)
-        s, rec2_ovf = _recompact_edges(s, max(v // min(128, gd), 8192))
+        s, rec2_ovf = _recompact_edges(s, max(v // min(128, gd), _CAP_FLOOR // 2))
         return s._replace(
             flags=s.flags
             | jnp.where(rec2_ovf, jnp.int32(FLAG_RECOMPACT_OVERFLOW),
@@ -1402,7 +1430,7 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
     # quality: pixel-scale root list (the bucket ramp can leave ~0.8V live
     # roots after the peel rounds — same fix as _stage_g).
     rcap = (v if v <= 1 << 20 or cfg.weight_buckets > 0
-            else max(v // 2, 16384))
+            else max(v // 2, _CAP_FLOOR))
     rlist, rovf = _build_rlist(gst.L, rcap)
     gst = gst._replace(
         flags=gst.flags
@@ -1502,7 +1530,7 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
 
     comp_cap = (v if v <= 1 << 20
                 else max(v // 24 if cfg.weight_buckets > 0 else v // 96,
-                         16384))
+                         _CAP_FLOOR))
     s2_iters = 2 * cfg.max_iters + nb
     fins0 = jnp.zeros((n_levels, st.fin.shape[0]), jnp.int32)
     warm_rounds = 2 if cfg.weight_buckets > 0 else 1
@@ -1511,7 +1539,7 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
         False, fins0, jnp.int32(0), flag_exhaustion=False,
     )
     st, rec_ovf = _recompact_edges(
-        st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, 16384)
+        st, max(v // 16 if cfg.weight_buckets > 0 else v // 64, _CAP_FLOOR)
     )
     st = st._replace(
         flags=st.flags

@@ -244,7 +244,7 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
     pair_div = (min(6, max(turbo._gate_div_q() // 5, 2))
                 if cfg.weight_buckets > 0
                 else min(24, max(turbo._gate_div() // 4, 3)))
-    cap_loc = max(v_loc // max(pair_div // 2, 1), 16384)
+    cap_loc = max(v_loc // max(pair_div // 2, 1), turbo._CAP_FLOOR)
     pm_l, plo_l, phi_l, pw_l, pe_l, ovf_l = turbo._chunked_pair_extract(
         lo, hi, ew4, eid4, cap_loc
     )
@@ -257,7 +257,7 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
     )
     # global flat dedup of the gathered pools (pair minima are exact within
     # tiles; cross-tile duplicates resolve here).
-    pair_cap = max(v // pair_div, 16384)
+    pair_cap = max(v // pair_div, turbo._CAP_FLOOR)
     s_lo, s_hi, s_w, s_e = jax.lax.sort((g_lo, g_hi, g_w, g_e), num_keys=4)
     head = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_),
@@ -266,45 +266,20 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
     pm, (plo, phi, pw, pe), pair_ovf = turbo._select_compact(
         head, [s_lo, s_hi, s_w, s_e], pair_cap
     )
-    plo = jnp.where(pm, plo, 0)
-    phi = jnp.where(pm, phi, 0)
-    pw = jnp.where(pm, pw, jnp.inf)
-    esrc = jnp.concatenate([plo, phi])
-    edst = jnp.concatenate([phi, plo])
-    ew = jnp.concatenate([pw, pw])
-    eeid = jnp.concatenate([pe, pe])
-
-    comp_cap = max(
-        v // (min(24, max(turbo._gate_div_q() * 3 // 4, 2))
-              if cfg.weight_buckets > 0
-              else min(96, max(turbo._gate_div() * 3 // 4, 2))), 16384)
-    srt_src = jax.lax.sort(
-        (jnp.where(jnp.isfinite(ew), esrc, INT32_MAX),)
-    )[0]
-    rhead = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), srt_src[1:] != srt_src[:-1]]
-    ) & (srt_src != INT32_MAX)
-    rm, (r0_arr,), root_ovf = turbo._select_compact(
-        rhead, [srt_src], comp_cap
-    )
-    r0 = jnp.where(rm, r0_arr, v)
 
     SZf = gather(gst.S).reshape(-1)
     IDf = gather(gst.ID).reshape(-1)
     Lg = gather(gst.L)
 
-    flags0 = (
-        gst.flags
-        | jnp.where(ovf_l | pair_ovf,
-                    jnp.int32(turbo.FLAG_PAIR_OVERFLOW), jnp.int32(0))
-        | jnp.where(root_ovf,
-                    jnp.int32(turbo.FLAG_COMP_OVERFLOW), jnp.int32(0))
+    # stage-2 entry state built by the SAME helper as dense extraction
+    # (pool orientation, root list, comp_cap, bucket carry — see the
+    # round-4 bucket-drift bug note on turbo._pools_to_state).
+    base_flags = gst.flags | jnp.where(
+        ovf_l, jnp.int32(turbo.FLAG_PAIR_OVERFLOW), jnp.int32(0)
     )
-    st = turbo.CompactState(
-        esrc=esrc, edst=edst, ew=ew, eeid=eeid, SZf=SZf, IDf=IDf,
-        fin=jnp.where(rm, r0_arr, 0), merged=jnp.bool_(True),
-        it=jnp.int32(0), bucket=jnp.int32(0), phase=jnp.int32(0),
-        flags=flags0,
+    st, rm, r0 = turbo._pools_to_state(
+        pm, plo, phi, pw, pe, pair_ovf, v, cfg, SZf, IDf, gst.bucket,
+        base_flags,
     )
     # ---- stage 2: replicated (identical deterministic compute per device).
     st = turbo._s2_stage(st, v, cfg, thresholds, nb)

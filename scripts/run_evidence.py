@@ -176,6 +176,13 @@ def section_bsds_quality(out_dir: str) -> list:
     else:
         samples = list(datasets.bsds_like_quality_set(n=20))
         source = "bsds_like"
+    # ASA/UE are properties of the partition, which is deterministic and
+    # backend-equal (the TPU parity gate checks exactly that), so this
+    # section is valid on the CPU backend during tunnel outages; record
+    # which backend produced each row.
+    import jax
+
+    backend = jax.default_backend()
     rows = []
     for name, extra in QUALITY_ALGOS:
         cfg = SegmentationConfig(k=80.0, min_size=100,
@@ -203,7 +210,7 @@ def section_bsds_quality(out_dir: str) -> list:
             asa, ue = asa_ue_best_gt(compact_labels_np(labels), gts)
             rows.append({"image": iname, "algorithm": name,
                          "source": source, "level": level,
-                         "asa": asa, "ue": ue})
+                         "backend": backend, "asa": asa, "ue": ue})
         scored = [r["asa"] for r in rows
                   if r["algorithm"] == name and "asa" in r]
         if scored:
