@@ -4,31 +4,57 @@
 # can return stable-but-wrong partitions with clean flags, so no timing
 # counts until partitions match the NumPy oracle on hardware. Each step
 # aborts the rest on failure; the script's exit status reflects it.
+#
+# The whole chain is UNATTENDED-SAFE (round-4 reality: the tunnel can come
+# back while no session is alive): sweep winners are auto-promoted into the
+# campaign env by scripts/promote_knobs.py (oracle-gated, conservative),
+# and artifacts are git-committed after each stage so progress lands even
+# if the box dies mid-campaign.
 set -u -o pipefail
 cd "$(dirname "$0")/.."
 LOG=bench_out/tunnel_up_$(date +%Y%m%d_%H%M).log
 mkdir -p bench_out
+
+ckpt() {  # ckpt <message> — commit current artifacts, never fail the chain
+  git add -A bench_out docs 2>/dev/null
+  git commit -q -m "$1" 2>/dev/null && echo "[ckpt] committed: $1" || true
+}
+
 {
   echo "=== 1. oracle parity (20-seed quality sweep + 540p blobs/textured)"
   timeout 5400 python scripts/check_tpu_parity.py || {
-    echo "PARITY FAILED — stop; do not measure."; exit 1; }
+    echo "PARITY FAILED — stop; do not measure."
+    ckpt "TPU parity gate FAILED — campaign aborted before timing"
+    exit 1; }
+  ckpt "TPU parity gate clean: 20-seed quality sweep + 540p oracle partitions"
 
   echo "=== 2. flagship bench sanity (1080p turbo)"
   timeout 3600 python bench.py || {
     echo "BENCH SANITY FAILED — stop before burning campaign time."
+    ckpt "bench.py sanity FAILED after clean parity gate"
     exit 1; }
+  ckpt "bench.py sanity pass on real chip (1080p turbo)"
 
-  echo "=== 2.5 bounded knob sweep (oracle-checked per config; decides"
-  echo "        GSEG_GATE_DIV for the campaign)"
+  echo "=== 2.5 bounded knob sweep (oracle-checked per config; decides the"
+  echo "        campaign env). Oracles precomputed by precompute_oracles.py."
   timeout 14400 python scripts/sweep_knobs.py \
       --shapes 1080x1920,2160x3840 \
-      --configs baseline,nosmall,gate13,gate32 || true
-  # Promote a knob into the campaign env ONLY if its sweep row is faster
-  # AND carries oracle_equal=true at BOTH shapes. Before making any knob
-  # a code default, also rerun scripts/check_tpu_parity.py with that env.
+      --configs baseline,nosmall,gate13,gate32,tlate16 || true
+  echo "=== 2.6 wb16 compile-cost A/B (VERDICT item 4: closure-free program)"
+  timeout 10800 python scripts/sweep_knobs.py --wb16 \
+      --shapes 1080x1920 \
+      --configs baseline,qnoclosures || true
+  python scripts/promote_knobs.py \
+      --sweep bench_out/sweep.jsonl --out bench_out/promoted_env.sh || true
+  ckpt "TPU knob sweep + wb16 compile A/B (oracle-gated rows in sweep.jsonl)"
+  if [ -f bench_out/promoted_env.sh ]; then
+    set -a; . bench_out/promoted_env.sh; set +a
+    echo "[campaign env] $(env | grep '^GSEG_' | tr '\n' ' ')"
+  fi
 
   echo "=== 3. evidence campaign (perf ladders + batch + BSDS-protocol"
   echo "       quality + plots; perf checkpoints per rung, 8K last)"
   timeout 36000 python scripts/run_evidence.py \
       --sections perf,batch,bsds,plots
+  ckpt "TPU evidence campaign artifacts (perf ladders, batch, plots)"
 } 2>&1 | tee "$LOG"

@@ -105,8 +105,12 @@ def section_perf(out_dir: str) -> list:
                              "height": res[0],
                              "width": res[1], "error": msg})
                 continue
+            knobs = {k: v for k, v in os.environ.items()
+                     if k.startswith("GSEG_")}
             for r in rs:
                 r["algorithm"] = name
+                if knobs:  # campaign env (promoted sweep winners) per row
+                    r["knobs"] = knobs
             rows.extend(rs)
             print(f"[perf] {name}@{res} ok "
                   f"({rs[0]['total']['mean_s']*1e3:.1f} ms)", flush=True)
