@@ -17,9 +17,34 @@ tracked in docs/RESULTS_r1.md.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _apply_promoted_env() -> None:
+    """Load the oracle-gated campaign knobs (bench_out/promoted_env.sh).
+
+    scripts/promote_knobs.py only writes this file for knob configs that
+    beat the defaults on the real chip WITH an exact oracle partition, so
+    applying it here keeps the driver's end-of-round bench.py run on the
+    same configuration the evidence campaign measured. GSEG_* variables
+    already present in the environment win (explicit A/B runs stay A/B).
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_out", "promoted_env.sh")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("export GSEG_"):
+                continue
+            key, _, val = line[len("export "):].partition("=")
+            val = val.strip().strip("'\"")
+            if key not in os.environ:
+                os.environ[key] = val
 
 
 def main() -> None:
@@ -36,6 +61,8 @@ def main() -> None:
     # then blocks forever (measured during round 3). Fail fast instead.
     signal.signal(signal.SIGALRM, _dead_backend)
     signal.alarm(1800)
+
+    _apply_promoted_env()  # trace-time knobs: must land before tracing
 
     import jax
 

@@ -39,7 +39,7 @@ ckpt() {  # ckpt <message> — commit current artifacts, never fail the chain
   echo "        campaign env). Oracles precomputed by precompute_oracles.py."
   timeout 14400 python scripts/sweep_knobs.py \
       --shapes 1080x1920,2160x3840 \
-      --configs baseline,nosmall,gate13,gate32,tlate16 || true
+      --configs baseline,nosmall,gate13,gate32,tlate16,gate32tlate16 || true
   echo "=== 2.6 wb16 compile-cost A/B (VERDICT item 4: closure-free program)"
   timeout 10800 python scripts/sweep_knobs.py --wb16 \
       --shapes 1080x1920 \

@@ -36,6 +36,10 @@ CONFIGS = {
     "gate32": {"GSEG_GATE_DIV": "32"},
     "tlate16": {"GSEG_T_LATE": "16"},
     "tlate32": {"GSEG_T_LATE": "32"},
+    # winner-combo candidate: gate32 keeps 1-2 late gossip rounds, so the
+    # late-round T bump composes with it (gate13 has no late rounds — a
+    # T_LATE combo there would be a no-op).
+    "gate32tlate16": {"GSEG_GATE_DIV": "32", "GSEG_T_LATE": "16"},
     "closures": {"GSEG_LATE_CLOSURES": "1"},
     # quality-mode (run with --wb16):
     "gateq16": {"GSEG_GATE_DIV_Q": "16"},
