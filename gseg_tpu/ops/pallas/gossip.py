@@ -760,6 +760,22 @@ def _compmin_closure(pre, rw, rows, wp):
 
 def _allow_prepare(ro, rows, wp):
     (allow,) = ro
+    # Fold the slab-row wrap masks into the allow bits ONCE PER PASS:
+    # pltpu.roll is circular, so dy=-1 reads wrap on slab row 0 and dy=+1
+    # reads wrap on slab row rows-1 — strip boundaries mid-image, where
+    # up/down adjacency is otherwise legitimately allowed (the round-3
+    # stable-but-wrong-fixpoint leak, commit c9fccc6). Clearing those
+    # direction bits here keeps the fix exact while the in-VMEM step loop
+    # pays only the original single allow-bit test per direction: a
+    # _row_ok call inside the step body would re-run its iota + compare +
+    # and on EVERY fori_loop iteration (Mosaic does not hoist it).
+    row = jax.lax.broadcasted_iota(jnp.int32, allow.shape, 0)
+    up = jnp.int32(sum(1 << d for d, (dy, _) in enumerate(gg.DIRS8)
+                       if dy < 0))
+    dn = jnp.int32(sum(1 << d for d, (dy, _) in enumerate(gg.DIRS8)
+                       if dy > 0))
+    allow = jnp.where(row == 0, allow & ~up, allow)
+    allow = jnp.where(row == rows - 1, allow & ~dn, allow)
     return (allow,)
 
 
@@ -774,10 +790,9 @@ def _label_step(pre, rw, rows, wp, dirs=tuple(range(8))):
     big = jnp.int32(1 << 30)
     for d in dirs:
         dy, dx = gg.DIRS8[d]
-        # the allow bits block image-boundary and pad columns globally,
-        # but NOT slab-row wraps (strip boundaries are mid-image) — mask
-        # the circular-roll rows explicitly (see _row_ok).
-        ok = (((allow >> d) & 1) > 0) & _row_ok(dy, rows, wp)
+        # slab-row wraps are pre-masked in _allow_prepare (once per pass),
+        # so a single allow-bit test suffices per step.
+        ok = ((allow >> d) & 1) > 0
         nL = _nbr(Lc, dy, dx, rows, wp)
         nid = _nbr(idf, dy, dx, rows, wp)
         nd = _nbr(dist, dy, dx, rows, wp)
@@ -800,8 +815,8 @@ def _labelnd_step(pre, rw, rows, wp, dirs=tuple(range(8))):
     Lc, idf = rw
     for d in dirs:
         dy, dx = gg.DIRS8[d]
-        # see _label_step: slab-row wraps must be masked explicitly.
-        ok = (((allow >> d) & 1) > 0) & _row_ok(dy, rows, wp)
+        # slab-row wraps pre-masked in _allow_prepare (see _label_step).
+        ok = ((allow >> d) & 1) > 0
         nL = _nbr(Lc, dy, dx, rows, wp)
         nid = _nbr(idf, dy, dx, rows, wp)
         adopt = ok & (nL < Lc)
