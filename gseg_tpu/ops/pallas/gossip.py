@@ -172,6 +172,28 @@ def _nbr(x, dy, dx, rows, wp):
     return out
 
 
+def _row_variants(x, dirs, rows):
+    """{dy: x rolled by dy rows} for every dy the dirs need.
+
+    The three directions sharing each dy reuse ONE row roll (Mosaic CSE of
+    identical rolls is not guaranteed): a full 8-direction sweep pays 8
+    rolls per field (2 row + 6 lateral) instead of _nbr's 12, bit-identical
+    to _nbr (rolls act on independent axes, same dy-then-dx order), and the
+    front-loaded independent rolls feed the ~0.3 us amortized-ILP roll path
+    (CLAUDE.md cost model). ONLY VALID for fields that are loop-invariant
+    across the direction loop (prepare inputs, _subsum_step's s) — the
+    flood steps' rw reads are chained (direction d must see the updates of
+    directions < d), so they must keep per-direction _nbr reads."""
+    dys = {gg.DIRS8[d][0] for d in dirs}
+    return {dy: (x if dy == 0 else pltpu.roll(x, (-dy) % rows, 0))
+            for dy in dys}
+
+
+def _lat(x, dx, wp):
+    """Lateral (lane-axis) roll of a row variant: x[., x+dx]."""
+    return x if dx == 0 else pltpu.roll(x, (-dx) % wp, 1)
+
+
 def _col_ok(dx, rows, wp):
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
     if dx == 1:
@@ -711,8 +733,9 @@ def _same_bits(L, rows, wp):
     label (and the read does not wrap a slab edge — see _row_ok). Computed
     once per pass — L is constant across the in-VMEM iterations."""
     bits = jnp.zeros(L.shape, jnp.int32)
+    rv = _row_variants(L, range(8), rows)
     for d, (dy, dx) in enumerate(gg.DIRS8):
-        nL = _nbr(L, dy, dx, rows, wp)
+        nL = _lat(rv[dy], dx, wp)
         ok = (nL == L) & _dir_ok(dy, dx, rows, wp)
         bits = bits | (ok.astype(jnp.int32) << d)
     return bits
@@ -726,6 +749,10 @@ def _compmin_prepare(ro, rows, wp):
 def _compmin_step(pre, rw, rows, wp, dirs=tuple(range(8))):
     (bits,) = pre
     bw, be, sz = rw
+    # NOTE: the rw reads are CHAINED (direction d sees the updates of
+    # directions < d — that's what moves values up to 3 rows per step), so
+    # row-roll sharing via _row_variants is INVALID here; only loop-
+    # invariant fields (prepare inputs, _subsum_step's s) may share.
     for d in dirs:
         dy, dx = gg.DIRS8[d]
         same = ((bits >> d) & 1) > 0
@@ -871,8 +898,9 @@ def _value_closure(pre, rw, rows, wp):
 def _subsum_prepare(ro, rows, wp):
     (pdir,) = ro
     child = jnp.zeros(pdir.shape, jnp.int32)
+    rv = _row_variants(pdir, range(8), rows)
     for d, (dy, dx) in enumerate(gg.DIRS8):
-        np_ = _nbr(pdir, dy, dx, rows, wp)
+        np_ = _lat(rv[dy], dx, wp)
         ok = (np_ == _REV[d]) & _dir_ok(dy, dx, rows, wp)
         child = child | (ok.astype(jnp.int32) << d)
     return (child,)
@@ -882,8 +910,11 @@ def _subsum_step(pre, rw, rows, wp):
     (child,) = pre
     (s,) = rw
     total = jnp.ones_like(s)
+    # s is loop-invariant across directions (only `total` accumulates), so
+    # row-roll sharing is exact here — unlike the chained flood steps.
+    rv = _row_variants(s, range(8), rows)
     for d, (dy, dx) in enumerate(gg.DIRS8):
-        ns = _nbr(s, dy, dx, rows, wp)
+        ns = _lat(rv[dy], dx, wp)
         total = total + jnp.where(((child >> d) & 1) > 0, ns, 0)
     return (total,)
 
