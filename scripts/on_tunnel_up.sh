@@ -37,9 +37,30 @@ ckpt() {  # ckpt <message> — commit current artifacts, never fail the chain
 
   echo "=== 2.5 bounded knob sweep (oracle-checked per config; decides the"
   echo "        campaign env). Oracles precomputed by precompute_oracles.py."
-  timeout 14400 python scripts/sweep_knobs.py \
-      --shapes 1080x1920,2160x3840 \
+  echo "        Staged to bound compile cost: all configs decide at 1080p,"
+  echo "        then ONLY the 1080p winner is confirmed at 4K (the final"
+  echo "        promotion still requires beating baseline at BOTH shapes)."
+  timeout 10800 python scripts/sweep_knobs.py \
+      --shapes 1080x1920 \
       --configs baseline,nosmall,gate13,gate32,tlate16,gate32tlate16 || true
+  python scripts/promote_knobs.py \
+      --sweep bench_out/sweep.jsonl \
+      --out bench_out/promoted_env_1080p.sh \
+      --names-out bench_out/sweep_winner.json || true
+  WINNER=$(python -c "
+import json, sys
+try:
+    print(json.load(open('bench_out/sweep_winner.json')).get('speed') or '')
+except Exception:
+    print('')" 2>/dev/null)
+  if [ -n "$WINNER" ]; then
+    echo "[sweep] 1080p winner: $WINNER — confirming at 4K"
+    timeout 7200 python scripts/sweep_knobs.py \
+        --shapes 2160x3840 \
+        --configs "baseline,$WINNER" || true
+  else
+    echo "[sweep] no 1080p winner — library defaults stand, skipping 4K legs"
+  fi
   echo "=== 2.6 wb16 compile-cost A/B (VERDICT item 4: closure-free program)"
   timeout 10800 python scripts/sweep_knobs.py --wb16 \
       --shapes 1080x1920 \

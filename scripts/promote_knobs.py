@@ -116,17 +116,28 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweep", default="bench_out/sweep.jsonl")
     ap.add_argument("--out", default="bench_out/promoted_env.sh")
+    ap.add_argument("--names-out", default="",
+                    help="also write the winning config NAMES as JSON "
+                         '({"speed": name-or-null, "quality": ...}) — '
+                         "lets the campaign confirm a cheap-shape winner "
+                         "at the expensive shape before final promotion")
     args = ap.parse_args()
     rows = _load(args.sweep)
 
     from sweep_knobs import CONFIGS  # same directory
 
+    names = {}
     env = {}
     for picker, tag in ((pick_speed, "speed"), (pick_quality, "quality")):
         name, why = picker(rows)
         print(f"[promote:{tag}] {name or 'baseline (no promotion)'} — {why}")
+        names[tag] = name
         if name:
             env.update(CONFIGS[name])
+
+    if args.names_out:
+        with open(args.names_out, "w") as f:
+            json.dump(names, f)
 
     with open(args.out, "w") as f:
         f.write("# generated by scripts/promote_knobs.py — sweep-winning\n"
