@@ -76,6 +76,6 @@ except Exception:
   echo "=== 3. evidence campaign (perf ladders + batch + BSDS-protocol"
   echo "       quality + plots; perf checkpoints per rung, 8K last)"
   timeout 36000 python scripts/run_evidence.py \
-      --sections perf,batch,bsds,plots
+      --sections perf,batch,bsds,eightk,plots
   ckpt "TPU evidence campaign artifacts (perf ladders, batch, plots)"
 } 2>&1 | tee "$LOG"

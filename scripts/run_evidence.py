@@ -56,7 +56,9 @@ LADDERS = [
     # judged rungs (1080p, 4K) first — 540p last, skippable if the
     # campaign runs out of time (wb16 compiles are the long pole).
     ("turbo_wb16", [2, 4, 0], {"weight_buckets": 16}, "blobs"),
-    ("turbo", [6], {}, "blobs"),
+    # 8K is NOT here: its multi-hour-risk Mosaic compile runs in
+    # section_eightk — an own subprocess with a hard timeout and an
+    # XLA-sweeps fallback, so a compile blowup cannot eat the campaign.
 ]
 
 QUALITY_ALGOS = [
@@ -119,6 +121,77 @@ def section_perf(out_dir: str) -> list:
                     f.write(json.dumps(r) + "\n")
         print(f"[perf] {name} done in {time.time()-t0:.0f}s", flush=True)
     return rows
+
+
+_EIGHTK_CHILD = r"""
+import sys, json
+sys.path.insert(0, %(repo)r)
+from gseg_tpu.utils.jaxcache import enable_persistent_cache
+enable_persistent_cache()
+from gseg_tpu.bench import harness
+from gseg_tpu.config import SegmentationConfig
+rs = harness.run_performance_ladder(
+    algorithms=["turbo"], resolutions=[(4320, 7680)], reps=3,
+    cfg=SegmentationConfig(k=300.0, min_size=100), content="blobs")
+print("ROW " + json.dumps(rs[0]), flush=True)
+"""
+
+
+def section_eightk(out_dir: str) -> None:
+    """The 8K turbo rung (reference README.md:26, atomic 716 ms @7680x4320;
+    our no-2^26-px-cap demonstration) in its OWN subprocess with a hard
+    timeout: the Mosaic aggregate at wp=7680 historically blew past 70 min
+    (docs/RESULTS_r4.md §3 bounds the post-census program at ~9-17 min,
+    unverified on hardware), and a slow compile is not an exception the
+    per-rung try/except can catch. Attempt 1 is the Pallas program
+    (2.5 h cap); on timeout/failure attempt 2 re-runs with GSEG_PALLAS=0
+    (the XLA-sweeps-on-TPU debug path — slower steady-state, but its
+    compile is minutes), recording the knob in the row."""
+    import subprocess
+
+    path = os.path.join(out_dir, "perf.jsonl")
+    rows = _load(path)
+    if any(r.get("algorithm") == "turbo" and r.get("height") == 4320
+           and "error" not in r for r in rows):
+        print("[8k] already measured — skip", flush=True)
+        return
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = _EIGHTK_CHILD % {"repo": repo}
+    for attempt, extra_env, cap_s in (
+        ("pallas", {}, 9000),
+        ("xla_fallback", {"GSEG_PALLAS": "0"}, 5400),
+    ):
+        env = dict(os.environ, **extra_env)
+        print(f"[8k] attempt={attempt} (timeout {cap_s}s)", flush=True)
+        try:
+            p = subprocess.run([sys.executable, "-c", src], env=env,
+                               capture_output=True, text=True,
+                               timeout=cap_s)
+        except subprocess.TimeoutExpired:
+            print(f"[8k] {attempt} timed out", flush=True)
+            continue
+        out = [l for l in p.stdout.splitlines() if l.startswith("ROW ")]
+        if p.returncode != 0 or not out:
+            err = (p.stderr.strip().splitlines() or ["no output"])[-1][:300]
+            print(f"[8k] {attempt} failed: {err}", flush=True)
+            continue
+        r = json.loads(out[-1][4:])
+        r["algorithm"] = "turbo"
+        knobs = {k: v for k, v in env.items() if k.startswith("GSEG_")}
+        if knobs:
+            r["knobs"] = knobs
+        rows.append(r)
+        with open(path, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+        print(f"[8k] ok via {attempt} "
+              f"({r['total']['mean_s']*1e3:.0f} ms)", flush=True)
+        return
+    rows.append({"algorithm": "turbo", "content": "blobs", "height": 4320,
+                 "width": 7680, "error": "8K failed both attempts"})
+    with open(path, "w") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
 
 
 def section_quality(out_dir: str) -> list:
@@ -228,7 +301,7 @@ def main():
     ap.add_argument("--out", default="bench_out")
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--sections",
-                    default="perf,fig3,quality,bsds,batch,plots")
+                    default="perf,fig3,quality,bsds,batch,eightk,plots")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     sections = args.sections.split(",")
@@ -236,6 +309,9 @@ def main():
     perf_path = os.path.join(args.out, "perf.jsonl")
     if "perf" in sections:
         section_perf(args.out)  # self-resumes: completed rungs are skipped
+
+    if "eightk" in sections:
+        section_eightk(args.out)  # own subprocess + timeout + XLA fallback
 
     fig3_path = os.path.join(args.out, "fig3.jsonl")
     if "fig3" in sections and (args.force or not _done(fig3_path)):
