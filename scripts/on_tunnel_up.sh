@@ -71,6 +71,16 @@ except Exception:
   if [ -f bench_out/promoted_env.sh ]; then
     set -a; . bench_out/promoted_env.sh; set +a
     echo "[campaign env] $(env | grep '^GSEG_' | tr '\n' ' ')"
+    if env | grep -q '^GSEG_'; then
+      echo "=== 2.7 parity re-check UNDER the promoted env (20-seed sweep;"
+      echo "        licenses flipping these knobs to library defaults —"
+      echo "        non-fatal: the knobs are already oracle-gated at the"
+      echo "        bench shapes by the sweep itself)"
+      timeout 5400 python scripts/check_tpu_parity.py --skip-540p \
+        && echo "[promoted-env parity] CLEAN" \
+        || echo "[promoted-env parity] FAILED — do NOT flip defaults"
+      ckpt "Promoted-env 20-seed parity sweep recorded"
+    fi
   fi
 
   echo "=== 3. evidence campaign (perf ladders + batch + BSDS-protocol"
