@@ -73,11 +73,17 @@ def _timed(fn: Callable, reps: int, inner: int | None = None) -> Dict[str, float
         _fence(x)
         dt = max(time.perf_counter() - t0 - ROUND_TRIP_S, 0.0) / inner
         times.append(dt)
+    mean = float(np.mean(times))
     return {
-        "mean_s": float(np.mean(times)),
+        "mean_s": mean,
         "std_s": float(np.std(times)),
         "min_s": float(np.min(times)),
         "max_s": float(np.max(times)),
+        # the reference's stability criterion: fraction of measurements
+        # within 5% of the mean (Report: "95% of measurements within 5%",
+        # SURVEY.md §4 item 4) — recorded so our rows state it directly.
+        "within5pct": float(np.mean(np.abs(np.array(times) - mean)
+                                    <= 0.05 * mean)) if mean > 0 else 0.0,
         "reps": reps,
         "inner": inner,
     }
