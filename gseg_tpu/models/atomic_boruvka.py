@@ -96,8 +96,16 @@ def _round(state: BoruvkaState, w8, eid8, shape, k, min_size, mode):
     other = jnp.where(ra == arange, rb, ra)
 
     if mode == "felz":
-        thr = intdiff + k / size.astype(jnp.float32)
-        ok = jnp.logical_and(comp_minw <= thr, comp_minw <= thr[other])
+        # Multiply-form predicate (w - Int)*|C| <= k — division-free so
+        # decisions are bit-identical across backends (TPU f32 div is
+        # ~1 ULP off IEEE; see models/boruvka_cpu.py). Invalid lanes
+        # (comp_minw=inf, or size=0 stale slots -> nan) are masked by
+        # `has` below.
+        kf = jnp.float32(k)
+        lhs_self = (comp_minw - intdiff) * size.astype(jnp.float32)
+        lhs_other = ((comp_minw - intdiff[other])
+                     * size[other].astype(jnp.float32))
+        ok = jnp.logical_and(lhs_self <= kf, lhs_other <= kf)
     elif mode == "minsize":
         ok = size < min_size
     else:  # pragma: no cover

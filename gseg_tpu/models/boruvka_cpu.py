@@ -179,12 +179,21 @@ def segment_boruvka_np(
             cw = np.where(has, comp_minw, np.inf).astype(np.float32)
 
             if mode == "felz":
-                # size==0 at stale non-root slots -> thr=inf there; those
-                # lanes are masked by `has` below.
-                with np.errstate(divide="ignore"):
-                    thr = (intdiff + np.float32(cfg.k) /
-                           size.astype(np.float32)).astype(np.float32)
-                ok = (cw <= thr) & (cw <= thr[other])
+                # Multiply-form Felzenszwalb predicate: (w - Int(C))*|C| <= k
+                # instead of w <= Int(C) + k/|C| (reference Report.pdf p.2
+                # Eq. MInt). Mathematically identical for |C| > 0, but sub/
+                # mul round identically on every backend whereas TPU f32
+                # division is ~1 ULP off IEEE (measured: 34% of k/s values
+                # at k=30 differ from CPU), which flipped near-tie merges
+                # on real-chip parity runs. All JAX paths use the same
+                # form. size==0 stale non-root slots (lhs 0*inf -> nan)
+                # are masked by `has` below.
+                kf = np.float32(cfg.k)
+                with np.errstate(invalid="ignore"):
+                    lhs_self = (cw - intdiff) * size.astype(np.float32)
+                    lhs_other = ((cw - intdiff[other])
+                                 * size[other].astype(np.float32))
+                ok = (lhs_self <= kf) & (lhs_other <= kf)
             else:
                 ok = size < cfg.min_size
             hook = has & ok

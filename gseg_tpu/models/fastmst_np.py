@@ -54,10 +54,13 @@ def fastmst_round_np(parent, size, intdiff, ea, eb, ew, eid, k, min_size,
     cw = s_w[head].astype(np.float32)
 
     if mode == "felz":
-        with np.errstate(divide="ignore"):
-            thr = (intdiff + np.float32(k) /
-                   size.astype(np.float32)).astype(np.float32)
-        ok = (cw <= thr[comp]) & (cw <= thr[other])
+        # Multiply-form predicate (w - Int)*|C| <= k — division-free; see
+        # models/boruvka_cpu.py for the cross-backend ULP rationale. All
+        # lanes here are live heads (size >= 1 at comp/other roots).
+        kf = np.float32(k)
+        sizef = size.astype(np.float32)
+        ok = (((cw - intdiff[comp]) * sizef[comp] <= kf)
+              & ((cw - intdiff[other]) * sizef[other] <= kf))
     else:
         ok = size[comp] < min_size
 

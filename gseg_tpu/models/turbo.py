@@ -448,16 +448,23 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
         )
 
     if mode == "felz":
-        thr = ID + jnp.float32(k) / SZ.astype(jnp.float32)
-        thr8 = jnp.stack(comm.shifts8(thr, jnp.inf))
-        my_ok = cw <= thr
+        # Multiply-form predicate (w - Int)*|C| <= k — division-free so TPU
+        # and CPU round identically (TPU f32 div is ~1 ULP off IEEE; see
+        # models/boruvka_cpu.py). Costs one extra 8-shift plane sweep (Int
+        # and size shift separately where the old form shifted one fused
+        # thr plane); the 0.0 fills make boundary lanes vacuously true,
+        # masked by owner8.
+        kf = jnp.float32(k)
+        SZf = SZ.astype(jnp.float32)
+        my_ok = (cw - ID) * SZf <= kf
+        ID8 = jnp.stack(comm.shifts8(ID, 0.0))
+        SZ8 = jnp.stack(comm.shifts8(SZf, 0.0))
     else:  # minsize
-        thr8 = None
         my_ok = SZ < min_size
 
     owner8 = (nbrL != L[None]) & (w8 == cw[None]) & (eid8 == ce[None])
     if mode == "felz":
-        pass8 = owner8 & my_ok[None] & (cw[None] <= thr8)
+        pass8 = owner8 & my_ok[None] & ((cw[None] - ID8) * SZ8 <= kf)
     else:
         pass8 = owner8 & my_ok[None]
 
@@ -625,10 +632,13 @@ def _s2_round(st: CompactState, v, comp_cap, k, min_size, is_felz,
         head, [s_src, s_w, s_dst], comp_cap
     )
 
-    thr_s = st.IDf[hsrc] + jnp.float32(k) / st.SZf[hsrc].astype(jnp.float32)
-    thr_d = st.IDf[hdst] + jnp.float32(k) / st.SZf[hdst].astype(jnp.float32)
+    # Multiply-form predicate (see models/boruvka_cpu.py): division-free,
+    # bit-identical decisions across backends. Same gathers as before.
+    kf = jnp.float32(k)
+    lhs_s = (hw - st.IDf[hsrc]) * st.SZf[hsrc].astype(jnp.float32)
+    lhs_d = (hw - st.IDf[hdst]) * st.SZf[hdst].astype(jnp.float32)
     ok = jnp.where(
-        is_felz, (hw <= thr_s) & (hw <= thr_d), st.SZf[hsrc] < min_size
+        is_felz, (lhs_s <= kf) & (lhs_d <= kf), st.SZf[hsrc] < min_size
     )
     hook = hm & ok
 
@@ -783,20 +793,34 @@ def _prune_dead(st: CompactState, v, k, min_size):
     minw = jnp.full((v + 1,), jnp.inf, jnp.float32).at[
         jnp.where(head, s_src, v)
     ].min(s_w, mode="drop")[:v]
-    thr = st.IDf + jnp.float32(k) / jnp.maximum(
+    # Frozen iff the predicate can never pass: NOT((minw - Int)*|C| <= k) —
+    # multiply form keeps this consistent with _s2_round's hook predicate
+    # across backends (see models/boruvka_cpu.py). minw=inf (no outgoing
+    # edge) gives inf > k: frozen, as before.
+    frozen = (minw - st.IDf) * jnp.maximum(
         st.SZf.astype(jnp.float32), 1.0
-    )
-    frozen = minw > thr
+    ) > jnp.float32(k)
     small = st.SZf < min_size
-    # Droppable iff BOTH endpoints frozen (and src not small). An edge
-    # from an UNFROZEN src to a frozen dst must be kept even though that
-    # hook can never fire: it may be the src's min outgoing edge, and
+    # Droppable iff BOTH endpoints frozen and NEITHER endpoint small. An
+    # edge from an UNFROZEN src to a frozen dst must be kept even though
+    # that hook can never fire: it may be the src's min outgoing edge, and
     # Boruvka components propose ONLY their min edge — dropping it would
     # promote the next-best edge into the proposal slot and merge earlier
     # than the oracle. A frozen src's proposals all fail regardless
     # (every outgoing w >= minw > thr_src), so its edges to other frozen
-    # components are semantically inert.
-    keep = ~(frozen[st.esrc] & frozen[st.edst]) | small[st.esrc]
+    # components are semantically inert — EXCEPT as min-size hook targets:
+    # small[edst] keeps the REVERSE edge of every possible min-size hook,
+    # so the hook's target still appears as a source of a live edge and
+    # therefore still gets a head slot in _s2_round (a hook into a comp
+    # with no head slot resolves to self and silently no-ops — found as a
+    # 20-seed parity failure: a pruned-to-edgeless frozen component next
+    # to a size-1 component left the size-1 comp unmerged, violating
+    # min_size and diverging from the oracle; test_prune_keeps_minsize_
+    # hook_targets). The rule is endpoint-symmetric, so the two-orientation
+    # pool stays orientation-symmetric: src's min edge live => the reverse
+    # edge live => every hook target is a head.
+    keep = (~(frozen[st.esrc] & frozen[st.edst])
+            | small[st.esrc] | small[st.edst])
     return st._replace(ew=jnp.where(live & ~keep, jnp.inf, st.ew))
 
 
@@ -851,16 +875,28 @@ def _rlist_loop(gcond, gbody, gst, rlist, vid, rcap2):
     return jax.lax.while_loop(gcond, gbody, (gst, rlist))
 
 
-def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int):
-    """Smoothing + implicit graph + gossip rounds; returns (state, weights)."""
+def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int,
+             weights_override=None):
+    """Smoothing + implicit graph + gossip rounds; returns (state, weights).
+
+    weights_override: optional (4, H, W) float32 planes that REPLACE the
+    smoothing + edge-weight computation. Testing hook: hardware parity
+    checks feed bit-identical weights to this path and the NumPy oracle so
+    the comparison isolates partition logic from legitimate cross-backend
+    float ULP drift in the filter chain (TPU smoothing differs from CPU by
+    up to ~3 ULP, which flips near-tie merges on some synthetic seeds).
+    """
     h, w = image.shape[0], image.shape[1]
     v = h * w
     max_sweeps = 4 * (h + w)
 
-    smoothed = filters.gaussian_smooth(image, cfg.sigma)
-    weights, _ = gg.edge_weight_planes(
-        smoothed, cfg.connectivity, cfg.quantize_weight_bits
-    )
+    if weights_override is not None:
+        weights = weights_override
+    else:
+        smoothed = filters.gaussian_smooth(image, cfg.sigma)
+        weights, _ = gg.edge_weight_planes(
+            smoothed, cfg.connectivity, cfg.quantize_weight_bits
+        )
     w8, eid8 = gg.incident_views(weights)
     vid = jnp.arange(v, dtype=jnp.int32).reshape(h, w)
 
@@ -1335,14 +1371,17 @@ def _final_map(gst: GossipState, st: CompactState, rm, r0, max_sweeps,
 
 
 def segment_turbo_impl(image: jnp.ndarray, cfg: SegmentationConfig,
-                       gossip_rounds: int = 2):
+                       gossip_rounds: int = 2, weights_override=None):
     """(H, W, 3) -> (labels, flags): (H, W) int32 canonical (min-vertex-id)
     labels plus a () int32 FLAG_* bitmask — nonzero means a capacity or
     sweep-budget violation occurred and the labels must not be trusted
-    (`segment_turbo` checks it and raises / falls back)."""
+    (`segment_turbo` checks it and raises / falls back).
+
+    weights_override: see _stage_g — parity-testing hook only."""
     h, w = image.shape[0], image.shape[1]
     v = h * w
-    gst, weights, thresholds = _stage_g(image, cfg, gossip_rounds)
+    gst, weights, thresholds = _stage_g(image, cfg, gossip_rounds,
+                                        weights_override)
     nb = max(cfg.weight_buckets, 1)
     st, rm, r0 = _extract_stage(gst, weights, cfg)
     st = _s2_stage(st, v, cfg, thresholds, nb)

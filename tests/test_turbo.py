@@ -364,3 +364,31 @@ def test_extract_small_path_matches_full_dedup(monkeypatch):
         jax.clear_caches()
     assert np.array_equal(outs["1"], outs["0"])
     assert np.array_equal(outs["1"], expected)
+
+
+def test_prune_keeps_minsize_hook_targets():
+    """Regression: _prune_dead must keep the reverse edge of every possible
+    min-size hook (small[edst] term). With the old src-only rule, a frozen
+    non-small component whose neighbors are all frozen lost ALL its live
+    outgoing edges, stopped being a head in _s2_round, and a small
+    component's min-size hook into it resolved to self and silently
+    no-opped — leaving a size-1 component (min_size violation) and a
+    partition diverging from the oracle (20-seed parity sweep, seeds 5/19).
+
+    Construction: two flat halves (strong border, both freeze with all
+    cross edges frozen-frozen) + one outlier pixel whose every edge exceeds
+    its own threshold (size-1, frozen). The outlier MUST min-size hook into
+    its surrounding half; pre-fix it could not."""
+    img = np.zeros((24, 32, 3), dtype=np.float32)
+    img[:, 16:, 0] = 200.0     # right half: strong vertical border
+    img[12, 8, 2] = 120.0      # outlier inside the left half
+    cfg = SegmentationConfig(k=50.0, min_size=10, sigma=0.01)
+    expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
+    # the construction must actually exercise the path: oracle leaves no
+    # undersized component, and the outlier merged into the left half
+    sizes = np.bincount(expected.reshape(-1))
+    assert (sizes[sizes > 0] >= cfg.min_size).all()
+    got = canonical_min_labels_np(np.asarray(segment_turbo(jnp.asarray(img), cfg)))
+    gsizes = np.bincount(got.reshape(-1))
+    assert (gsizes[gsizes > 0] >= cfg.min_size).all()
+    assert np.array_equal(got, expected)
