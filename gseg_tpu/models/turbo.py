@@ -498,6 +498,12 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
                 pg.pack_allow_bits(allow), L, id_init, max_sweeps,
                 closures=closures,
                 phase="late" if sizes == "rlist" else "peel",
+                # pass-1 activity seed: away from hook edges Lc/idf are
+                # uniform per (converged) old component, so hook-free
+                # strips start at a local fixpoint (contract in
+                # pg._step_fixpoint); id_init only differs from ID at
+                # hook pixels (used_w8 support).
+                seed_mask=jnp.any(hook8, axis=0),
             )
         else:
             Lnew, IDnew, lab_unconv = _label_gossip_nd(
@@ -1118,8 +1124,16 @@ def _extract_stage(gst: GossipState, weights, cfg: SegmentationConfig):
 
         # measured: noise-merged components are sponge-shaped — boundary
         # run candidates stay ~V/3 even at C ~ V/500, so the pool needs
-        # V/2 at any gate.
-        cap_live = max(v // 2, 1 << 16)
+        # V/2 at the default gate. Early speed gates (GSEG_GATE_DIV < 64)
+        # hand off with pixel-scale boundaries whose run candidates can
+        # exceed V/2 (the round-4 sweep's gate32/gate13 TPU overflow —
+        # the XLA extract path has no candidate pool and passed at the
+        # same gates), so they size the pool at V; the live-count small
+        # path keeps the dedup sorts priced by content, not capacity.
+        cap_live = max(
+            v if (cfg.weight_buckets == 0 and gd < 64) else v // 2,
+            1 << 16,
+        )
         lo, hi, ew4, eid4, cnt, extract_ovf = px.boundary_extract(
             gst.L, weights, w, cap_live
         )

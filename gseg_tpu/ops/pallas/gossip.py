@@ -154,7 +154,10 @@ def _pick_skip_rows(wp: int, h: int, n_ro: int, n_rw: int,
     ov = os.environ.get("GSEG_SKIP_ROWS")
     if ov:
         return max(int(ov) // 8 * 8, 8)
-    planes = 2 * n_ro + 3 * n_rw + TEMP_PLANES
+    # +n_rw: the refined-wake epilogue keeps the pre-final-step values of
+    # every rw field live alongside the final state (last-step change
+    # detection).
+    planes = 2 * n_ro + 4 * n_rw + TEMP_PLANES
     s = SKIP_VMEM_BUDGET // (planes * wp * 4) - 2 * t_steps
     cap = max(h // 13 // 8 * 8, SKIP_MIN_ROWS)
     s = min(max(int(s) // 8 * 8, SKIP_MIN_ROWS), cap, 512)
@@ -548,24 +551,59 @@ def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
             def step(_, rw):
                 return (sep_fn or step_fn)(pre, list(rw), slab, wp)
 
-            rw = jax.lax.fori_loop(1, t_steps, step, rw)
+            # Refined wake (self-reactivation on LAST-step change): keep
+            # the state before the final step alive so the epilogue can
+            # tell "still propagating internally" (last step changed
+            # something) from "settled this pass" (earlier steps changed,
+            # final step a no-op == local fixpoint w.r.t. current halos;
+            # steps are deterministic and `pre` is pass-constant, so one
+            # more pass over the same inputs would be a full no-op — the
+            # old certificate pass, now skipped). INVALID with a separable
+            # step variant: a lateral-only no-op does not certify the FULL
+            # 8-dir step, so sep runs keep whole-pass change as self-wake.
+            refined = sep_fn is None and t_steps > 1
+            if refined:
+                prev = jax.lax.fori_loop(1, t_steps - 1, step, rw)
+                rw = tuple(step(0, prev))
+            else:
+                rw = jax.lax.fori_loop(1, t_steps, step, rw)
 
             # 5. epilogue: change detection, write-back, out-DMA (no wait),
-            # adjacent-halo patch for the prefetched strip.
+            # adjacent-halo patch for the prefetched strip. Per-strip flag
+            # is a bitmask: bit0 self-wake (last-step change; whole-pass
+            # change when not refined), bit1 top-band change (interior
+            # rows [0, t) — the strip above reads them as its bottom
+            # halo), bit2 bottom-band change (rows [s-t, s) — the strip
+            # below's top halo). _step_fixpoint turns bands into neighbor
+            # wakes; a band-quiet settled strip goes inactive immediately
+            # instead of paying the old trailing certificate pass.
             rowg = (
                 jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 0)
                 + i * s_rows
             )
             colg = jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 1)
             valid = (rowg < h) & (colg < w)
-            changed = jnp.int32(0)
+            rowl = jax.lax.broadcasted_iota(jnp.int32, (s_rows, wp), 0)
+            top_band = valid & (rowl < t)
+            bot_band = valid & (rowl >= s_rows - t)
+            ch_self = jnp.int32(0)
+            ch_top = jnp.int32(0)
+            ch_bot = jnp.int32(0)
             for j in range(n_rw):
                 slot = slot_of(o, n_ro + j)
                 new = rw[j][t : t + s_rows, :]
                 diff = new != scratch[n_ro + j][slot, t : t + s_rows, :]
-                changed = changed | jnp.max(
-                    (diff & valid).astype(jnp.int32)
-                )
+                ch_top = ch_top | jnp.max((diff & top_band).astype(jnp.int32))
+                ch_bot = ch_bot | jnp.max((diff & bot_band).astype(jnp.int32))
+                if refined:
+                    dlast = new != prev[j][t : t + s_rows, :]
+                    ch_self = ch_self | jnp.max(
+                        (dlast & valid).astype(jnp.int32)
+                    )
+                else:
+                    ch_self = ch_self | jnp.max(
+                        (diff & valid).astype(jnp.int32)
+                    )
                 scratch[n_ro + j][slot, t : t + s_rows, :] = new
                 out_dma(i, j, slot).start()
                 if sync:
@@ -577,7 +615,7 @@ def _strip_call_skip(prepare_fn, step_fn, ro_pad, rw_pad, fills, act,
                         scratch[n_ro + j][
                             slot_of(o + 1, n_ro + j), 0:t, :
                         ] = scratch[n_ro + j][slot, s_rows : s_rows + t, :]
-            ch_ref[i] = changed
+            ch_ref[i] = ch_self | (ch_top << 1) | (ch_bot << 2)
 
             # 6. last active strip: drain every outstanding out-DMA.
             @pl.when(jnp.bool_(not sync) & (n1 >= nstrips))
@@ -637,14 +675,31 @@ def _pad_field(x, fill, t_steps, hp, wp):
 
 
 def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
-                   t_steps=T, sep_fn=None):
+                   t_steps=T, sep_fn=None, seed_mask=None):
     """Step-only T-step passes with converged-strip skipping.
 
     Fields stay padded and resident across the whole fixpoint; each pass
     only recomputes strips whose slab range changed in the previous pass.
     Most fixpoint work concentrates on a few active regions after the
     first couple of passes, so steady-state pass cost scales with the
-    active area, not the image. Returns (rw, unconverged, passes)."""
+    active area, not the image.
+
+    Wake protocol (see _strip_call_skip's epilogue bitmask): a strip
+    reactivates itself only while its final in-VMEM step still changes
+    something; neighbors reactivate only when the t halo-feeding interior
+    rows they read actually changed. A skipped strip's rows cannot change
+    (aliased outputs), so band quiescence certifies its last-computed
+    local fixpoint stays valid — the loop exits at exactly the same global
+    fixpoint as the old whole-pass-no-change protocol, minus the trailing
+    certificate passes.
+
+    seed_mask: optional (H, W) bool — pass-1 activity seed. CALLER
+    CONTRACT: any strip whose slab (interior + one-strip dilation, which
+    covers the t-row halos) contains no True pixel must already be at a
+    local fixpoint of step_fn (e.g. label floods: labels/Int uniform per
+    component away from hook edges). Such strips never run until a
+    neighbor's band change wakes them. Returns (rw, unconverged, passes).
+    """
     wp = -(-w // 128) * 128
     s_rows = _pick_skip_rows(wp, h, len(ro_row), len(rw_fields), t_steps)
     hp = -(-h // s_rows) * s_rows
@@ -668,18 +723,32 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
             prepare_fn, step_fn, ro_pad, list(rw), fills, act,
             h, w, s_rows, t_steps, sep_fn=sep_fn,
         )
-        up = jnp.concatenate([ch[1:], jnp.zeros((1,), jnp.int32)])
-        dn = jnp.concatenate([jnp.zeros((1,), jnp.int32), ch[:-1]])
-        return ch | up | dn, it + jnp.int32(1), tuple(rw)
+        slf = ch & 1
+        top = (ch >> 1) & 1
+        bot = (ch >> 2) & 1
+        # my bottom halo = strip i+1's top t rows; my top halo = strip
+        # i-1's bottom t rows.
+        up = jnp.concatenate([top[1:], jnp.zeros((1,), jnp.int32)])
+        dn = jnp.concatenate([jnp.zeros((1,), jnp.int32), bot[:-1]])
+        return slf | up | dn, it + jnp.int32(1), tuple(rw)
 
-    st = (jnp.ones((nstrips,), jnp.int32), jnp.int32(0), tuple(rw_pad))
+    if seed_mask is not None and not no_skip:
+        m = jnp.pad(seed_mask, ((0, hp - h), (0, 0)))
+        ms = jnp.max(m.reshape(nstrips, -1).astype(jnp.int32), axis=1)
+        act0 = ms | jnp.concatenate(
+            [ms[1:], jnp.zeros((1,), jnp.int32)]
+        ) | jnp.concatenate([jnp.zeros((1,), jnp.int32), ms[:-1]])
+    else:
+        act0 = jnp.ones((nstrips,), jnp.int32)
+    st = (act0, jnp.int32(0), tuple(rw_pad))
     st = jax.lax.while_loop(cond, body, st)
     out = [x[t_steps : t_steps + h, :w] for x in st[2]]
     return out, jnp.max(st[0]) > 0, st[1]
 
 
 def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
-                     rw_fields, h, w, max_passes, sep_fn=None, t_steps=T):
+                     rw_fields, h, w, max_passes, sep_fn=None, t_steps=T,
+                     seed_mask=None):
     """Two-phase fixpoint driver.
 
     Phase 1 — cheap T-step passes in row orientation only (no closures):
@@ -698,6 +767,7 @@ def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
     rw1, unconv1, p1 = _step_fixpoint(
         prepare_fn, step_fn, ro_row, rw_fields, h, w,
         min(max_passes, WARM_PASSES), t_steps=t_steps, sep_fn=sep_fn,
+        seed_mask=seed_mask,
     )
     st = (unconv1, p1, tuple(rw1))
 
@@ -997,14 +1067,19 @@ def label_gossip(allow_bits, Lc, idf, dist, max_sweeps, phase=None):
 
 
 def label_flood(allow_bits, Lc, idf, max_sweeps, closures=True,
-                phase=None):
+                phase=None, seed_mask=None):
     """Dist-free min-label flood. Returns (Lc, idf, unconverged, passes).
 
     The production stage-G flood for rounds sized by the root list
     (models/turbo.py): without the riding BFS dist the fields are pure
     min/max semilattices, so the scan closures converge in staircase
     complexity at any component diameter. closures=False: see
-    compmin_gossip."""
+    compmin_gossip.
+
+    seed_mask: optional (H, W) bool — True where a hook (cross-label
+    allow) edge touches. Away from hooks Lc/idf are uniform per old
+    component (the caller's converged state), so hook-free strips satisfy
+    the _step_fixpoint local-fixpoint seeding contract."""
     h, w = Lc.shape
     t = _pick_t(w, phase)
     max_passes = -(-max_sweeps // t)
@@ -1013,17 +1088,20 @@ def label_flood(allow_bits, Lc, idf, max_sweeps, closures=True,
         (Lc, idf), unconv, passes = _step_fixpoint(
             _allow_prepare, _labelnd_step, [(allow_bits, 0)], rw, h, w,
             max_passes, t_steps=t, sep_fn=_sep(_labelnd_sep),
+            seed_mask=seed_mask,
         )
         return Lc, idf, unconv, passes
     (Lc, idf), unconv, passes = _hybrid_fixpoint(
         _allow_prepare, _labelnd_step, _labelnd_closure,
         [(allow_bits, 0)], [(transpose_allow_bits(allow_bits), 0)],
         rw, h, w, max_passes, sep_fn=_sep(_labelnd_sep), t_steps=t,
+        seed_mask=seed_mask,
     )
     return Lc, idf, unconv, passes
 
 
-def value_flood(L, val, max_sweeps, closures=True, phase=None):
+def value_flood(L, val, max_sweeps, closures=True, phase=None,
+                seed_mask=None):
     """Min-value broadcast within same-L regions. Returns (val, unconverged,
     passes).
 
@@ -1032,7 +1110,10 @@ def value_flood(L, val, max_sweeps, closures=True, phase=None):
     random gather (~7 ns/index) with dense passes. closures=False: see
     compmin_gossip (final components can span the image, but the step-only
     wavefront is active-area priced while a 4K closure pass-pair is not).
-    """
+
+    seed_mask: optional (H, W) bool — True where val is seeded below the
+    sentinel (root slots). Seed-free strips hold uniform sentinel values,
+    a local fixpoint of the min-broadcast step (seeding contract)."""
     h, w = L.shape
     t = _pick_t(w, phase)
     rw = [(val, jnp.iinfo(jnp.int32).max)]
@@ -1040,13 +1121,14 @@ def value_flood(L, val, max_sweeps, closures=True, phase=None):
         (val,), unconv, passes = _step_fixpoint(
             _compmin_prepare, _value_step, [(L, -1)], rw, h, w,
             -(-max_sweeps // t), t_steps=t, sep_fn=_sep(_value_sep),
+            seed_mask=seed_mask,
         )
         return val, unconv, passes
     (val,), unconv, passes = _hybrid_fixpoint(
         _compmin_prepare, _value_step, _value_closure,
         [(L, -1)], [(L.T, -1)],
         rw, h, w, -(-max_sweeps // t),
-        sep_fn=_sep(_value_sep), t_steps=t,
+        sep_fn=_sep(_value_sep), t_steps=t, seed_mask=seed_mask,
     )
     return val, unconv, passes
 

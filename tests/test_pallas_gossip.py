@@ -403,3 +403,92 @@ def test_ladder_width_flood(w):
             pg.pack_allow_bits(allow), Lc0, idf, ms, closures=False)
     assert np.array_equal(np.asarray(rL), np.asarray(gL))
     assert np.array_equal(np.asarray(rI), np.asarray(gI))
+
+
+def test_refined_wake_long_wave_and_seeding():
+    """Refined wake protocol regression (round-4): strips self-reactivate
+    only on LAST-in-VMEM-step change and wake neighbors only on halo-band
+    (top/bottom t rows) changes, so a settled strip stops paying trailing
+    certificate passes. Adversarial construction: a tall uniform-label
+    pillar spans every strip (h=440 -> 6 strips at the 72-row floor); a
+    single hook at the BOTTOM row injects a smaller label, so the flood
+    wave must climb strip by strip in the Jacobi (upward) direction —
+    missed band wakes or premature self-deactivation would freeze it
+    mid-image. seed_mask marks only the hook pixels: every upper strip
+    starts INACTIVE and is woken purely by bottom-band changes."""
+    import gseg_tpu.ops.grid_graph as gg
+
+    h, w = 440, 96
+    row = np.arange(h)[:, None]
+    col = np.arange(w)[None, :]
+    # pillar (cols 0..9, all rows): label 500_000. bottom-right block:
+    # label 7 (the future min). elsewhere: per-4x8-tile components.
+    tile = (1000 + (row // 4) * 31 + col // 8).astype(np.int32)
+    L = np.where(col < 10, 500_000, tile)
+    L[h - 6:, 80:] = 7
+    L = jnp.asarray(L.astype(np.int32))
+    # production shape: Lc0 == L (uniform per component), idf uniform per
+    # component with bumps only at hook pixels (id_init semantics).
+    rng = np.random.default_rng(4)
+    idf_np = (np.asarray(L) % 97).astype(np.float32)
+    ms = 8 * (h + w)
+    nbrL = [gg.shift_plane(L, dy, dx, -1) for dy, dx in gg.DIRS8]
+    allow = [nbrL[d] == L for d in range(8)]
+    # hook: connect block(7) to pillar along row h-1 via a same-row chain
+    # of extra allow bits (cols 9..80 bridge through the tile components).
+    hook = np.zeros((h, w), bool)
+    hook[h - 1, 9:80] = True
+    m = jnp.asarray(hook & np.asarray(gg.valid_plane(h, w, 0, 1)))
+    allow[0] = allow[0] | m
+    allow[4] = allow[4] | jnp.asarray(
+        np.asarray(gg.shift_plane(m, 0, -1, False)))
+    seed_plane = m | jnp.asarray(np.asarray(gg.shift_plane(m, 0, -1, False)))
+    idf_np[h - 1, 9:81] += 3.0  # used_w8 bump at hook pixels
+    idf = jnp.asarray(idf_np)
+    Lc0 = L
+
+    rL, rI, _ = turbo._label_gossip_nd(Lc0, allow, idf, ms)
+    with pltpu.force_tpu_interpret_mode():
+        gL, gI, gunc, _ = pg.label_flood(
+            pg.pack_allow_bits(allow), Lc0, idf, ms, closures=False,
+            seed_mask=seed_plane)
+    assert not bool(gunc)
+    # sanity: the pillar really adopted the injected min label everywhere
+    # (the wave crossed all strips).
+    assert int(np.asarray(gL)[0, 0]) == 7
+    assert np.array_equal(np.asarray(rL), np.asarray(gL))
+    assert np.array_equal(np.asarray(rI), np.asarray(gI))
+
+    # empty seed mask == no hooks anywhere: flood must be an exact no-op
+    # (zero passes) and still converged.
+    same_allow = [nbrL[d] == L for d in range(8)]
+    uni = jnp.asarray((np.asarray(L) * 7 + 3).astype(np.int32))
+    idu = jnp.asarray((np.asarray(L) % 5).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        nL2, nI2, unc2, passes2 = pg.label_flood(
+            pg.pack_allow_bits(same_allow), uni, idu, ms, closures=False,
+            seed_mask=jnp.zeros((h, w), bool))
+    assert not bool(unc2)
+    assert int(passes2) == 0
+    assert np.array_equal(np.asarray(nL2), np.asarray(uni))
+
+    # value flood long-wave: one seeded root per converged component
+    # (min flat index), everything else at the int32 sentinel.
+    Ln = np.asarray(rL)
+    Lnp = Ln.reshape(-1)
+    first = {}
+    for i, lab in enumerate(Lnp):
+        first.setdefault(int(lab), i)
+    roots = np.zeros((h * w,), bool)
+    for lab, i in first.items():
+        roots[i] = True
+    vals = rng.integers(0, 1 << 20, (h * w,)).astype(np.int32)
+    seedv = np.where(roots, vals, np.iinfo(np.int32).max).reshape(h, w)
+    canon = jnp.asarray(Ln)
+    rv, _ = turbo._value_flood(canon, jnp.asarray(seedv), ms)
+    with pltpu.force_tpu_interpret_mode():
+        gv, gunc3, _ = pg.value_flood(
+            canon, jnp.asarray(seedv), ms, closures=False,
+            seed_mask=jnp.asarray(roots.reshape(h, w)))
+    assert not bool(gunc3)
+    assert np.array_equal(np.asarray(rv), np.asarray(gv))

@@ -392,3 +392,20 @@ def test_prune_keeps_minsize_hook_targets():
     gsizes = np.bincount(got.reshape(-1))
     assert (gsizes[gsizes > 0] >= cfg.min_size).all()
     assert np.array_equal(got, expected)
+
+
+def test_partition_matches_oracle_multistrip(monkeypatch):
+    """End-to-end turbo vs the sequential oracle with the pipeline's
+    gossip fixpoints FORCED multi-strip (GSEG_SKIP_ROWS=8 -> 12 strips at
+    h=96): the round-3 wrap bug and the round-4 refined-wake protocol
+    (last-step self-wake + halo-band neighbor wakes) are only exercised
+    when strips actually interact — every other end-to-end CI case fits
+    one strip at the 72-row floor. Unique shape: jit caches are keyed by
+    shape/cfg, so reusing a shape compiled without the env knob would
+    silently test the single-strip program."""
+    monkeypatch.setenv("GSEG_SKIP_ROWS", "8")
+    cfg = SegmentationConfig(k=200.0, min_size=20, connectivity=8)
+    img = blobs_image(96, 56, 6, 6.0, 11)
+    expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
+    got = np.asarray(segment_turbo(jnp.asarray(img), cfg))
+    assert np.array_equal(expected, got)
