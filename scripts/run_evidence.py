@@ -44,8 +44,13 @@ LADDERS = [
     # photo-like content (de-risks blob-derived capacity/gate tuning):
     # same compiled programs as the blob rows, so the rungs are cheap.
     ("turbo", [0, 2, 4], {}, "textured"),
-    ("fastmst", [0, 1, 2, 4], {}, "blobs"),
-    ("superpixel", [0, 1, 2, 4], {}, "blobs"),
+    # 4K dropped for the scatter/sort-bound variants: fastmst@4K sat 55+
+    # minutes in the tunnel's server-side TPU compile (zero host CPU,
+    # socket wait) before the round-4 campaign killed it — the judged ask
+    # (VERDICT item 6) is honest 540p/1080p numbers for these, which the
+    # 540p/720p/1080p rungs cover.
+    ("fastmst", [0, 1, 2], {}, "blobs"),
+    ("superpixel", [0, 1, 2], {}, "blobs"),
     ("atomic", [0, 1, 2], {}, "blobs"),
     ("atomic_hostsync", [0], {}, "blobs"),
     # LAST: the expensive compiles — quality-mode programs (~1 h each: both
