@@ -88,6 +88,20 @@ def main(h=1080, w=1920):
         print(f"  comps after round {r}: "
               f"{int(jnp.sum((g.L == vid).astype(jnp.int32)))}", flush=True)
 
+    # sub-pieces of the peel rounds: how much of round 1/2 is the flat
+    # counting scatter-add (capacity-sized at ~7 ns/slot), and what the
+    # dist-ride + subtree-convergecast alternative costs end-to-end.
+    csz = jax.jit(lambda L: turbo._component_sizes(L)[0])
+    timeit("  r1 countsizes ", csz, g1.L)
+    timeit("  r2 countsizes ", csz, g2.L)
+    ground_ss = jax.jit(lambda s: turbo._ground(
+        s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", ms,
+        sizes="subsum"))
+    s1 = timeit("round1 (subsum)", ground_ss, gst)
+    s2 = timeit("round2 (subsum)", ground_ss, s1)
+    print(f"  subsum L == count L after r2: "
+          f"{bool(jnp.all(s2.L == g2.L))}", flush=True)
+
     # sub-pieces of round 3 (the first rlist round)
     from gseg_tpu.ops.pallas import gossip as pg
 
