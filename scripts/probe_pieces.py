@@ -1,0 +1,228 @@
+"""Noise-free per-piece costs of a gossip round (real chip).
+
+probe_rounds.py attributes round cost by fencing each piece, but the
+~30 ms tunnel round trip swamps pieces under ~5 ms (several measured
+negative). Here each piece runs N times inside ONE jit via a
+carry-dependent fori_loop, so the fence cost amortizes to nothing and
+the marginal per-iteration cost is exact.
+
+Pieces (on the round-2 state of the 1080p bench image, where rounds are
+most expensive):
+  vertexmin   8-shift min over (w8, eid8) incident views
+  maskchain   felz predicate + owner/pass/allow/hook masks + id_init
+              (everything in _ground between compmin and the flood)
+  compmin     Pallas compmin_gossip fixpoint
+  flood       Pallas label_flood fixpoint (same-label allow approx)
+  countsizes  flat counting scatter-add (_component_sizes)
+  runsizes    run_extract + _sum_by_label at a given cap (the candidate
+              replacement for countsizes/subsum in the peel rounds)
+  subtree     Pallas subtree_sums convergecast on the round-1 dist field
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gseg_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from gseg_tpu.config import SegmentationConfig
+from gseg_tpu.models import turbo
+from gseg_tpu.ops import filters
+from gseg_tpu.ops import grid_graph as gg
+from gseg_tpu.utils.synthetic import blobs_image
+
+INT32_MAX = turbo.INT32_MAX
+
+
+def fence(x):
+    return int(jnp.max(jnp.asarray(x).astype(jnp.float32)))
+
+
+def timeloop(name, fn, n, *args, reps=3):
+    """fn must map its first arg to a same-shaped output (loop carry)."""
+    def body(_, c):
+        return fn(c, *args[1:])
+
+    looped = jax.jit(lambda c: jax.lax.fori_loop(0, n, body, c))
+    out = looped(args[0])
+    fence(out if hasattr(out, "dtype") else out[0])
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = looped(args[0])
+        fence(out if hasattr(out, "dtype") else out[0])
+        ts.append(time.perf_counter() - t0)
+    per = min(ts) / n * 1e3
+    print(f"  {name}: {per:7.3f} ms/iter  (n={n})", flush=True)
+    return per
+
+
+def main(h=1080, w=1920):
+    cfg = SegmentationConfig(k=300.0, min_size=100)
+    v = h * w
+    img = jax.device_put(jnp.asarray(
+        blobs_image(h, w, num_blobs=max(8, v // 65536), noise=8.0, seed=0)))
+    ms = 4 * (h + w)
+
+    @jax.jit
+    def prep(im):
+        sm = filters.gaussian_smooth(im, cfg.sigma)
+        weights, _ = gg.edge_weight_planes(sm, cfg.connectivity, 0)
+        w8, eid8 = gg.incident_views(weights)
+        return weights, w8, eid8
+
+    weights, w8, eid8 = prep(img)
+    fence(w8[0])
+    vid = jnp.arange(v, dtype=jnp.int32).reshape(h, w)
+    gst = turbo.GossipState(
+        L=vid, S=jnp.ones((h, w), jnp.int32),
+        ID=jnp.zeros((h, w), jnp.float32), merged=jnp.bool_(True),
+        it=jnp.int32(0), bucket=jnp.int32(0), flags=jnp.int32(0),
+    )
+    ground = jax.jit(lambda s: turbo._ground(
+        s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", ms, sizes="count",
+        closures=False))
+    g1 = ground(gst)
+    g2 = ground(g1)
+    print(f"comps r1={int(jnp.sum((g1.L == vid).astype(jnp.int32)))} "
+          f"r2={int(jnp.sum((g2.L == vid).astype(jnp.int32)))}", flush=True)
+
+    for tag, g in (("r1", g1), ("r2", g2)):
+        L, S, ID = g.L, g.S, g.ID
+
+        # --- vertexmin (carry: L via a dependency trick - xor 0)
+        def vmin_step(Lc):
+            vminw, veid, _ = turbo._vertex_min_outgoing(Lc, w8, eid8)
+            # fold outputs back into the carry without changing it
+            return Lc ^ (veid & 0)
+
+        timeloop(f"{tag} vertexmin ", vmin_step, 20, L)
+
+        # real vertexmin outputs for the downstream pieces
+        vminw, veid, nbrL = jax.jit(
+            lambda Lc: turbo._vertex_min_outgoing(Lc, w8, eid8))(L)
+
+        # --- compmin fixpoint (Pallas)
+        from gseg_tpu.ops.pallas import gossip as pg
+
+        def compmin_step(Lc):
+            cw, ce, SZ, unconv, np_ = pg.compmin_gossip(
+                Lc, vminw, veid, S, ms, closures=False, phase="peel")
+            return Lc ^ (ce & 0)
+
+        timeloop(f"{tag} compmin   ", compmin_step, 8, L)
+
+        cw, ce, SZ, _, _ = jax.jit(lambda Lc: pg.compmin_gossip(
+            Lc, vminw, veid, S, ms, closures=False, phase="peel"))(L)
+
+        # --- mask chain: predicate + owner/pass/allow/hook + id_init
+        def mask_step(IDc):
+            kf = jnp.float32(cfg.k)
+            SZf = SZ.astype(jnp.float32)
+            my_ok = (cw - IDc) * SZf <= kf
+            ID8 = jnp.stack(turbo._DENSE_COMM.shifts8(IDc, 0.0))
+            SZ8 = jnp.stack(turbo._DENSE_COMM.shifts8(SZf, 0.0))
+            owner8 = (nbrL != L[None]) & (w8 == cw[None]) & (eid8 == ce[None])
+            pass8 = owner8 & my_ok[None] & ((cw[None] - ID8) * SZ8 <= kf)
+            new_marks = []
+            for dc, (dy, dx) in enumerate(gg.DIRS4):
+                m = pass8[dc] | turbo._DENSE_COMM.shift(
+                    pass8[dc + 4], dy, dx, False)
+                new_marks.append(m)
+            new_mark4 = jnp.stack(new_marks)
+            allow = []
+            for d in range(8):
+                if d < 4:
+                    am = new_mark4[d]
+                else:
+                    dy, dx = gg.DIRS4[d - 4]
+                    am = turbo._DENSE_COMM.shift(
+                        new_mark4[d - 4], -dy, -dx, False)
+                allow.append((nbrL[d] == L) | am)
+            allow8 = jnp.stack(allow)
+            hook8 = allow8 & (nbrL != L[None])
+            used_w8 = jnp.where(
+                hook8, jnp.where(jnp.isfinite(w8), w8, 0.0), 0.0)
+            id_init = jnp.maximum(IDc, jnp.max(used_w8, axis=0))
+            bits = pg.pack_allow_bits(list(allow8))
+            return IDc + (id_init * 0) + (bits & 0).astype(jnp.float32)
+
+        timeloop(f"{tag} maskchain ", mask_step, 20, ID)
+
+        # --- flood (same-label allow: converged -> measures per-call floor)
+        @jax.jit
+        def allow_bits_of(Lc):
+            nbr = [gg.shift_plane(Lc, dy, dx, -1) for dy, dx in gg.DIRS8]
+            bits = jnp.zeros_like(Lc)
+            for d in range(8):
+                bits = bits | ((nbr[d] == Lc).astype(jnp.int32) << d)
+            return bits
+
+        bits = allow_bits_of(L)
+
+        def flood_step(Lc):
+            Ln, IDn, unc, np_ = pg.label_flood(
+                bits, Lc, ID, ms, closures=False, phase="peel",
+                seed_mask=jnp.zeros_like(Lc, jnp.bool_))
+            return jnp.minimum(Lc, Ln)
+
+        timeloop(f"{tag} flood(cvg)", flood_step, 8, L)
+
+        # --- countsizes (flat scatter-add)
+        def count_step(Lc):
+            Sn, _ = turbo._component_sizes(Lc)
+            return Lc ^ (Sn & 0)
+
+        timeloop(f"{tag} countsizes", count_step, 10, L)
+
+        # --- runsizes at a few caps
+        from gseg_tpu.ops.pallas import extract as px
+
+        lab0, cnt0, total0, ovf0 = jax.jit(
+            functools.partial(px.run_extract, cap=v))(L)
+        nruns = int(jnp.sum((lab0 != INT32_MAX).astype(jnp.int32)))
+        print(f"  {tag} runs: {nruns} (V/{v // max(nruns, 1)}) "
+              f"ovf={bool(ovf0)}", flush=True)
+        for cap in (v // 2, v // 4):
+            if nruns > cap:
+                print(f"  {tag} runsizes cap=v/{v // cap}: SKIP "
+                      f"(runs {nruns} > cap)", flush=True)
+                continue
+
+            def runs_step(Lc, cap=cap):
+                lab, cnt, total, ovf = px.run_extract(Lc, cap)
+                Sn, _ = turbo._sum_by_label(lab, cnt, h, w)
+                return Lc ^ (Sn & 0)
+
+            timeloop(f"{tag} runsizes v/{v // cap}", runs_step, 10, L)
+
+    # --- subtree convergecast on the round-1 dist field (subsum scheme)
+    dist0 = jnp.where(gst.L == vid, jnp.int32(0), turbo.BIGDIST)
+    # regenerate round-1 allow bits + flood with dist to get a real dist
+    g1d = jax.jit(lambda s: turbo._ground(
+        s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", ms,
+        sizes="subsum", closures=False))(gst)
+
+    def subtree_step(Lc):
+        Sn, unc = turbo._subtree_sizes(
+            Lc, jnp.where(Lc == vid, 0, 1), ms)
+        return Lc ^ (Sn & 0)
+
+    # NOTE: the fake dist makes every non-root a depth-1 child of nothing -
+    # the fixpoint converges immediately; measures the per-call floor, not
+    # a real convergecast. Real r1 subsum round cost comes from
+    # probe_rounds.py round1 (subsum).
+    timeloop("r1 subtree(floor)", subtree_step, 8, g1d.L)
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)
