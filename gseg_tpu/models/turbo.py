@@ -110,6 +110,57 @@ def _gate_div() -> int:
     return int(os.environ.get("GSEG_GATE_DIV", "128"))
 
 
+def _peel_sizes() -> str:
+    """Sizes scheme for the speed-mode peel rounds (rounds 1-2):
+
+    - "subsum": BFS-dist rides the flood + parent-tree convergecast.
+    - "count":  dist-free flood + flat counting scatter (~7 ns/pixel:
+      ~11 ms/round @1080p — the dominant piece of a peel round).
+    - "runs":   dist-free flood + run-length pool (`run_extract`) grouped
+      by one cap-sized sort — sizes are exact (runs partition the plane),
+      cost is cap-priced instead of pixel-priced, and a lax.cond falls
+      back to the flat scatter if the run pool overflows (adversarial
+      content), so the scheme is never wrong and never flags.
+
+    GSEG_PEEL_SIZES overrides for hardware A/B."""
+    return os.environ.get("GSEG_PEEL_SIZES", "subsum")
+
+
+def _runs_div() -> int:
+    """Run-pool capacity divisor for sizes="runs" (cap = V/div). After
+    speed round 1 on blob content the run count is ~C..1.7C with
+    C ~ V/3.4, so V/2 holds with margin; overflow falls back to the flat
+    scatter inside the round (exactness either way)."""
+    return int(os.environ.get("GSEG_RUNS_DIV", "2"))
+
+
+def _runs_sizes(L):
+    """Exact per-component pixel counts via the run-length pool: row runs
+    of L partition the plane, so summing run lengths grouped by label is
+    an exact count — one dense Pallas scan + one cap-sized sort/scan/
+    scatter instead of a V-sized counting scatter. Falls back to
+    `_component_sizes` (same result) when the run pool overflows, on
+    non-TPU backends, and under GSEG_PALLAS=0."""
+    if not _use_pallas():
+        return _component_sizes(L)
+    from ..ops.pallas import extract as px
+
+    h, w = L.shape
+    v = h * w
+    cap = max(v // _runs_div(), 8 * 128)
+    lab, cnt, _total, r_ovf = px.run_extract(L, cap)
+
+    def by_runs(_):
+        S, _roots = _sum_by_label(lab, cnt, h, w)
+        return S
+
+    def by_scatter(_):
+        return _component_sizes(L)[0]
+
+    S = jax.lax.cond(r_ovf, by_scatter, by_runs, None)
+    return S, jnp.bool_(False)
+
+
 def _shift(x, dy, dx, fill):
     return gg.shift_plane(x, dy, dx, fill)
 
@@ -430,6 +481,9 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
       via the parent-tree convergecast — works under halo exchange.
     - sizes="count" (dense peel rounds): dist-free flood; exact sizes by
       a flat counting scatter-add (`_component_sizes`, capacity-free).
+    - sizes="runs" (dense peel rounds, speed mode): dist-free flood; exact
+      sizes from the run-length pool (`_runs_sizes`, cap-priced with an
+      in-round scatter fallback on pool overflow).
     - sizes="rlist" (dense rounds 3+): dist-free flood; sizes by grouping
       the compact old-root list (`rlist`) — returns (state, new rlist).
     """
@@ -489,7 +543,7 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
     used_w8 = jnp.where(hook8, jnp.where(jnp.isfinite(w8), w8, 0.0), 0.0)
     id_init = jnp.maximum(ID, jnp.max(used_w8, axis=0))
 
-    if sizes in ("rlist", "count"):
+    if sizes in ("rlist", "count", "runs"):
         # dist-free flood (the dense schemes).
         if _use_pallas() and comm.dense:
             from ..ops.pallas import gossip as pg
@@ -513,6 +567,9 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
         if sizes == "rlist":
             Snew, rlist_new = _rlist_sizes(rlist, Lnew, S)
             size_ovf = jnp.bool_(False)
+        elif sizes == "runs":
+            Snew, size_ovf = _runs_sizes(Lnew)
+            rlist_new = None
         else:
             Snew, size_ovf = _component_sizes(Lnew)
             rlist_new = None
@@ -1000,10 +1057,12 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int,
     def pcond(s):
         return s.merged & (s.it < 2)
 
+    peel_sizes = _peel_sizes()
+
     def pbody(s):
         return advance(s, _ground(
             s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
-            tau=thresholds[s.bucket], closures=False,
+            tau=thresholds[s.bucket], sizes=peel_sizes, closures=False,
         ))
 
     gst = jax.lax.while_loop(pcond, pbody, gst)

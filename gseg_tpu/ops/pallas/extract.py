@@ -305,7 +305,7 @@ def run_extract(L, cap: int):
     nstrips = hp // s_rows
     cap_rows = cap // LANES
     tall = s_rows * wp // LANES
-    win_rows = min(max(_cdiv(tall, 8), 8), cap_rows)
+    win_rows = _pick_win_rows(tall, cap_rows)
 
     Lp = jnp.pad(L, ((0, hp - h), (0, wp - w)), constant_values=-1)
     kernel = functools.partial(
@@ -497,6 +497,20 @@ def _pick_srows(wp: int) -> int:
     return min(max(int(s) // 8 * 8, 8), 64)
 
 
+def _pick_win_rows(tall: int, cap_rows: int) -> int:
+    """Output-DMA window height: ~1 window per typical strip, <=8 for
+    fully-dense strips — but the staged buffer is sliced in whole windows
+    (`stage.at[pl.ds(j*win, win)]`), so win_rows MUST divide `tall` or the
+    last window slice overruns the stage (caught by interpret mode at
+    small caps, where the cap_rows clamp broke divisibility). Shrink to
+    the nearest divisor; cap_rows >= win_rows keeps the destination clip
+    (`cap_rows - win_rows`) non-negative."""
+    win = max(min(max(_cdiv(tall, 8), 8), cap_rows), 1)
+    while tall % win:
+        win -= 1
+    return win
+
+
 @functools.partial(jax.jit, static_argnames=("w_true", "cap"))
 def boundary_extract(L, weights, w_true: int, cap: int):
     """Compacted live boundary-edge candidates from dense planes.
@@ -521,7 +535,7 @@ def boundary_extract(L, weights, w_true: int, cap: int):
     cap_rows = cap // LANES
     tall = 4 * s_rows * wp // LANES
     # DMA window: ~1 window per typical strip, <=8 for fully-dense strips.
-    win_rows = min(max(_cdiv(tall, 8), 8), cap_rows)
+    win_rows = _pick_win_rows(tall, cap_rows)
 
     Lp = jnp.pad(L, ((0, hp - h + 8), (0, wp - w)), constant_values=-1)
     wpad = jnp.pad(

@@ -43,7 +43,8 @@ INT32_MAX = turbo.INT32_MAX
 
 
 def fence(x):
-    return int(jnp.max(jnp.asarray(x).astype(jnp.float32)))
+    x = jnp.asarray(x).astype(jnp.float32)
+    return float(jnp.max(jnp.where(jnp.isfinite(x), x, 0.0)))
 
 
 def timeloop(name, fn, n, *args, reps=3):

@@ -409,3 +409,70 @@ def test_partition_matches_oracle_multistrip(monkeypatch):
     expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
     got = np.asarray(segment_turbo(jnp.asarray(img), cfg))
     assert np.array_equal(expected, got)
+
+
+def test_peel_runs_sizes_matches_oracle(monkeypatch):
+    """GSEG_PEEL_SIZES=runs (Pallas path, interpret mode): speed-mode
+    peel rounds with the dist-free flood + run-pool sizes must produce
+    the oracle partition with flags=0, same as the default subsum
+    scheme. The run pool holds here (cap floor >= V), so this covers the
+    by_runs branch; the overflow fallback is covered below."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gseg_tpu.models import turbo as turbo_mod
+
+    cfg = SegmentationConfig(k=100.0, min_size=8)
+    img = blobs_image(24, 40, 5, 6.0, 7)
+    expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
+
+    monkeypatch.setenv("GSEG_PEEL_SIZES", "runs")
+    monkeypatch.setattr(turbo_mod, "_use_pallas", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        got, flags = turbo_mod.segment_turbo_impl(jnp.asarray(img), cfg, 4)
+    assert int(flags) == 0
+    assert np.array_equal(expected, np.asarray(got))
+
+
+def test_runs_sizes_both_branches_match_scatter(monkeypatch):
+    """_runs_sizes == _component_sizes on both lax.cond branches (Pallas
+    interpret). by_runs: an oracle partition whose run count fits the
+    1024-slot cap floor. by_scatter: the identity labeling (every pixel
+    its own root — 2560 runs at 40x64 > 1024) forces run-pool overflow,
+    which must fall back to the flat scatter, not flag or misreport."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gseg_tpu.models import turbo as turbo_mod
+
+    h, w = 40, 64
+    img = blobs_image(h, w, 6, 6.0, 3)
+    cfg = SegmentationConfig(k=100.0, min_size=8)
+    L = jnp.asarray(
+        canonical_min_labels_np(segment_boruvka_np(img, cfg)), jnp.int32)
+    runs = int(np.sum(np.asarray(L)[:, 1:] != np.asarray(L)[:, :-1])) + h
+    assert runs <= 1024  # guarantees the by_runs branch below
+
+    monkeypatch.setattr(turbo_mod, "_use_pallas", lambda: True)
+    expected = np.asarray(turbo_mod._component_sizes(L)[0])
+    with pltpu.force_tpu_interpret_mode():
+        S_runs, ovf = turbo_mod._runs_sizes(L)
+    assert not bool(ovf)
+    assert np.array_equal(expected, np.asarray(S_runs))
+
+    Lid = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    assert h * w > 1024  # identity labeling overflows the cap floor
+    with pltpu.force_tpu_interpret_mode():
+        S_fb, ovf_fb = turbo_mod._runs_sizes(Lid)
+    assert not bool(ovf_fb)
+    assert np.array_equal(np.ones((h, w), np.int32), np.asarray(S_fb))
+
+
+def test_peel_runs_cpu_degrades_to_count(monkeypatch):
+    """GSEG_PEEL_SIZES=runs on the XLA/CPU path degrades to the counting
+    scatter (no Pallas run pool) — the partition must match the oracle
+    through segment_turbo's public surface."""
+    monkeypatch.setenv("GSEG_PEEL_SIZES", "runs")
+    cfg = SegmentationConfig(k=200.0, min_size=20, connectivity=8)
+    img = blobs_image(48, 56, 6, 6.0, 11)
+    expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
+    got = np.asarray(segment_turbo(jnp.asarray(img), cfg))
+    assert np.array_equal(expected, got)
