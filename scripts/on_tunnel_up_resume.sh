@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-4 RESUME runbook: the box rebooted mid-campaign (2026-08-19 ~20:05,
+# post-wake turbo ladder re-run had just started). The knob sweep already
+# ran to verdict on the chip (library defaults stand — bench_out/sweep.jsonl,
+# docs/RESULTS_r4.md §4.2), so this chain skips stage 2.5/2.6 of
+# on_tunnel_up.sh and goes parity gate -> bench sanity -> evidence campaign
+# (which self-resumes per rung; fig3/quality/bsds artifacts exist and are
+# skipped automatically).
+#
+# Parity first is non-negotiable (CLAUDE.md round-3 lesson): commits since
+# the last clean on-chip gate touched extract.py (run_extract window fix)
+# and gossip probes; no timing counts until hardware partitions match the
+# NumPy oracle again.
+set -u -o pipefail
+cd "$(dirname "$0")/.."
+LOG=bench_out/tunnel_resume_$(date +%Y%m%d_%H%M).log
+mkdir -p bench_out
+
+ckpt() {  # commit current artifacts, never fail the chain
+  git add -A bench_out docs 2>/dev/null
+  git commit -q -m "$1" 2>/dev/null && echo "[ckpt] committed: $1" || true
+}
+
+{
+  echo "=== 1. oracle parity (20-seed quality sweep + 540p blobs/textured)"
+  timeout 5400 python scripts/check_tpu_parity.py || {
+    echo "PARITY FAILED — stop; do not measure."
+    ckpt "TPU parity gate FAILED — resume campaign aborted before timing"
+    exit 1; }
+  ckpt "TPU parity gate clean (resume after reboot)"
+
+  echo "=== 2. flagship bench sanity (1080p turbo)"
+  timeout 3600 python bench.py || {
+    echo "BENCH SANITY FAILED — stop before burning campaign time."
+    ckpt "bench.py sanity FAILED after clean parity gate (resume)"
+    exit 1; }
+  ckpt "bench.py sanity pass on real chip (resume)"
+
+  echo "=== 3. evidence campaign (self-resuming: perf rungs checkpointed,"
+  echo "       fig3/quality/bsds skip on existing artifacts; 8K last)"
+  timeout 36000 python scripts/run_evidence.py \
+      --sections perf,batch,fig3,quality,bsds,eightk,plots
+  ckpt "TPU evidence campaign artifacts (resumed post-reboot)"
+
+  echo "=== 4. evidence summary tables"
+  python scripts/summarize_evidence.py > docs/EVIDENCE_r4.md 2>/dev/null \
+    && echo "[summary] wrote docs/EVIDENCE_r4.md" || true
+  ckpt "Evidence summary tables (round 4)"
+} 2>&1 | tee "$LOG"
