@@ -42,6 +42,16 @@ ckpt() {  # commit current artifacts, never fail the chain
       --sections perf,batch,fig3,quality,bsds,eightk,plots
   ckpt "TPU evidence campaign artifacts (resumed post-reboot)"
 
+  echo "=== 3.5 wb16 gate sweep (oracle-gated; probe_qrounds predicts the"
+  echo "        v/32 gate runs ~3 more pixel-scale rounds than v/16 needs —"
+  echo "        see bench_out/probe_qrounds_*.log)"
+  timeout 10800 python scripts/sweep_knobs.py --wb16 \
+      --shapes 1080x1920 \
+      --configs baseline,gateq16,gateq8 || true
+  python scripts/promote_knobs.py \
+      --sweep bench_out/sweep.jsonl --out bench_out/promoted_env.sh || true
+  ckpt "wb16 gate-knob sweep on chip (gateq16/gateq8 vs baseline)"
+
   echo "=== 4. evidence summary tables"
   python scripts/summarize_evidence.py > docs/EVIDENCE_r4.md 2>/dev/null \
     && echo "[summary] wrote docs/EVIDENCE_r4.md" || true

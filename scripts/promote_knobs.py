@@ -100,16 +100,24 @@ def pick_quality(rows):
     for name, shapes in byc.items():
         if name == "baseline" or set(base) - set(shapes):
             continue
-        ok = all(
+        lean = all(  # compile-cost lever (Mosaic aggregate, RESULTS_r4 §3)
             shapes[s]["mean_ms"] <= 1.15 * base[s]["mean_ms"]
             and shapes[s]["compile_s"] <= 0.7 * base[s]["compile_s"]
             for s in base
         )
-        if ok and cost(shapes) < best_cost:
+        fast = all(  # runtime lever (e.g. the gateq* handoff configs —
+            # probe_qrounds: the v/32 gate runs ~3 pixel-scale rounds the
+            # v/16 gate hands to pool-scale stage 2)
+            shapes[s]["mean_ms"] <= 0.90 * base[s]["mean_ms"]
+            and shapes[s]["compile_s"] <= 1.4 * base[s]["compile_s"]
+            for s in base
+        )
+        if (lean or fast) and cost(shapes) < best_cost:
             best, best_cost = name, cost(shapes)
     if best is None:
-        return None, "no wb16 config cuts compile 30%+ within 15% runtime"
-    return best, "compile-lean wb16 winner"
+        return None, ("no wb16 config cuts compile 30%+ within 15% runtime "
+                      "or runtime 10%+ within 1.4x compile")
+    return best, "wb16 winner (compile-lean or runtime)"
 
 
 def main():
