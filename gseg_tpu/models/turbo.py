@@ -113,9 +113,12 @@ def _gate_div() -> int:
 def _peel_sizes() -> str:
     """Sizes scheme for the speed-mode peel rounds (rounds 1-2):
 
-    - "subsum": BFS-dist rides the flood + parent-tree convergecast.
-    - "count":  dist-free flood + flat counting scatter (~7 ns/pixel:
-      ~11 ms/round @1080p — the dominant piece of a peel round).
+    - "subsum": BFS-dist rides the flood (3 rw fields) + parent-tree
+      convergecast (own fixpoint, ~4.2 ms floor @1080p).
+    - "count":  dist-free flood (2 rw fields — less slab traffic and
+      fewer chained rolls per step) + flat counting scatter (~1.4 ns/px
+      amortized in-jit: ~2.8 ms @1080p, probe_pieces r4; the old ~11 ms
+      estimate was tunnel fence noise).
     - "runs":   dist-free flood + run-length pool (`run_extract`) grouped
       by one cap-sized sort — sizes are exact (runs partition the plane),
       cost is cap-priced instead of pixel-priced, and a lax.cond falls

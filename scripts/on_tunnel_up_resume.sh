@@ -42,6 +42,34 @@ ckpt() {  # commit current artifacts, never fail the chain
       --sections perf,batch,fig3,quality,bsds,eightk,plots
   ckpt "TPU evidence campaign artifacts (resumed post-reboot)"
 
+  echo "=== 3.4 speed sweep: dist-free peel rounds (corrected scatter cost"
+  echo "        model — probe_pieces r4; subsum default was kept on a"
+  echo "        fence-noised number)"
+  timeout 7200 python scripts/sweep_knobs.py \
+      --shapes 1080x1920 \
+      --configs peelcount || true
+  PEELWIN=$(python - <<'EOF'
+import json
+rows = [json.loads(l) for l in open('bench_out/sweep.jsonl') if l.strip()]
+def best(cfg):
+    ms = [r['mean_ms'] for r in rows
+          if r.get('config') == cfg and r.get('oracle_equal')
+          and r.get('weight_buckets', 0) == 0
+          and (r['height'], r['width']) == (1080, 1920)]
+    return min(ms) if ms else None
+b, p = best('baseline'), best('peelcount')
+print('yes' if (b and p and p < 0.98 * b) else 'no')
+EOF
+)
+  if [ "$PEELWIN" = "yes" ]; then
+    echo "[sweep] peelcount wins at 1080p — confirming at 4K"
+    timeout 7200 python scripts/sweep_knobs.py \
+        --shapes 2160x3840 --configs baseline,peelcount || true
+  fi
+  python scripts/promote_knobs.py \
+      --sweep bench_out/sweep.jsonl --out bench_out/promoted_env.sh || true
+  ckpt "peelcount speed sweep on chip (dist-free peel rounds A/B)"
+
   echo "=== 3.5 wb16 gate sweep (oracle-gated; probe_qrounds predicts the"
   echo "        v/32 gate runs ~3 more pixel-scale rounds than v/16 needs —"
   echo "        see bench_out/probe_qrounds_*.log)"

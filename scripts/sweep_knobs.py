@@ -41,6 +41,10 @@ CONFIGS = {
     # T_LATE combo there would be a no-op).
     "gate32tlate16": {"GSEG_GATE_DIV": "32", "GSEG_T_LATE": "16"},
     "closures": {"GSEG_LATE_CLOSURES": "1"},
+    # dist-free peel rounds: 2 rw flood fields instead of 3 + flat
+    # counting scatter (~2.8 ms @1080p in-jit) instead of the subtree
+    # convergecast fixpoint (~4.2 ms floor) — probe_pieces r4 cost model.
+    "peelcount": {"GSEG_PEEL_SIZES": "count"},
     # quality-mode (run with --wb16):
     "gateq16": {"GSEG_GATE_DIV_Q": "16"},
     "gateq8": {"GSEG_GATE_DIV_Q": "8"},
