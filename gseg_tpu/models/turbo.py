@@ -249,8 +249,12 @@ def _vertex_min_outgoing(L, w8, eid8, tau=jnp.inf, comm=_DENSE_COMM):
     return vminw, veid, nbrL
 
 
-def _compmin_gossip(L, bw, be, sz, max_sweeps, comm=_DENSE_COMM):
-    """Lexmin (bw, be) + max (sz) propagation among same-L neighbors."""
+def _compmin_gossip(L, bw, be, sz, max_sweeps, comm=_DENSE_COMM, idle=None):
+    """Lexmin (bw, be) + max (sz) propagation among same-L neighbors.
+
+    idle: optional traced () bool — True when the inputs are the fixpoint
+    by construction (round 1: all-singleton L has no same-label edges), so
+    the sweep loop is skipped entirely (see pallas compmin_gossip)."""
     def sweep(st):
         bw, be, sz, _, i = st
         nL = comm.shifts8(L, -1)
@@ -269,7 +273,8 @@ def _compmin_gossip(L, bw, be, sz, max_sweeps, comm=_DENSE_COMM):
         )
         return bw, be, sz, changed, i + jnp.int32(1)
 
-    st = (bw, be, sz, jnp.bool_(True), jnp.int32(0))
+    go = jnp.bool_(True) if idle is None else jnp.logical_not(idle)
+    st = (bw, be, sz, go, jnp.int32(0))
     st = jax.lax.while_loop(lambda s: s[3] & (s[4] < max_sweeps), sweep, st)
     # st[3] still True at exit <=> the sweep cap ended the loop unconverged.
     return st[0], st[1], st[2], st[3]
@@ -477,7 +482,7 @@ def _subtree_sizes(L, dist, max_sweeps, comm=_DENSE_COMM):
 
 def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
             tau=jnp.inf, comm=_DENSE_COMM, rlist=None, sizes="subsum",
-            closures=True):
+            closures=True, idle_compmin=None):
     """One gossip Boruvka round. Sizes schemes:
 
     - sizes="subsum" (spatial comm mode): BFS-dist rides the flood, sizes
@@ -489,6 +494,12 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
       in-round scatter fallback on pool overflow).
     - sizes="rlist" (dense rounds 3+): dist-free flood; sizes by grouping
       the compact old-root list (`rlist`) — returns (state, new rlist).
+
+    idle_compmin: optional traced () bool from callers whose round-1 entry
+    state is all-singleton (every _stage_g-style loop: L=vid, S=1 at
+    it==0). A singleton label map has no same-label edges, so the compmin
+    fixpoint is the identity — the flag skips its full-image certificate
+    pass (~5.9 ms @1080p, probe_pieces r4).
     """
     L, S, ID = state.L, state.S, state.ID
 
@@ -498,10 +509,11 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
 
         cw, ce, SZ, unconv, _ = pg.compmin_gossip(
             L, vminw, veid, S, max_sweeps, closures=closures,
-            phase="late" if sizes == "rlist" else "peel")
+            phase="late" if sizes == "rlist" else "peel",
+            idle=idle_compmin)
     else:
         cw, ce, SZ, unconv = _compmin_gossip(
-            L, vminw, veid, S, max_sweeps, comm
+            L, vminw, veid, S, max_sweeps, comm, idle=idle_compmin
         )
 
     if mode == "felz":
@@ -1002,7 +1014,7 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int,
             return advance(s, _ground(
                 s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
                 tau=thresholds[s.bucket], sizes="count",
-                closures=_q_closures(),
+                closures=_q_closures(), idle_compmin=s.it == 0,
             ))
 
         # two peel rounds in ONE while_loop (a single traced _ground body
@@ -1066,6 +1078,7 @@ def _stage_g(image: jnp.ndarray, cfg: SegmentationConfig, gossip_rounds: int,
         return advance(s, _ground(
             s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
             tau=thresholds[s.bucket], sizes=peel_sizes, closures=False,
+            idle_compmin=s.it == 0,
         ))
 
     gst = jax.lax.while_loop(pcond, pbody, gst)
@@ -1537,7 +1550,7 @@ def _stage_g_capture(image, cfg: SegmentationConfig, gossip_rounds: int,
         s = advance(s, _ground(
             s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", max_sweeps,
             tau=thresholds[s.bucket], sizes="count",
-            closures=use_closures,
+            closures=use_closures, idle_compmin=it0 == 0,
         ))
         return s, levels.at[jnp.minimum(it0, n_levels - 1)].set(s.L)
 

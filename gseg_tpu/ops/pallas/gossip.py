@@ -675,7 +675,7 @@ def _pad_field(x, fill, t_steps, hp, wp):
 
 
 def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
-                   t_steps=T, sep_fn=None, seed_mask=None):
+                   t_steps=T, sep_fn=None, seed_mask=None, idle=None):
     """Step-only T-step passes with converged-strip skipping.
 
     Fields stay padded and resident across the whole fixpoint; each pass
@@ -699,6 +699,13 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
     local fixpoint of step_fn (e.g. label floods: labels/Int uniform per
     component away from hook edges). Such strips never run until a
     neighbor's band change wakes them. Returns (rw, unconverged, passes).
+
+    idle: optional traced () bool — when True the WHOLE state is already
+    at the global fixpoint and every strip starts inactive (zero passes,
+    fields returned unchanged). CALLER CONTRACT mirrors seed_mask's: only
+    pass True when the fixpoint holds by construction (e.g. compmin on a
+    round-1 all-singleton label map has no same-label edges at all, so the
+    identity is the fixpoint — models/turbo.py _ground idle_compmin).
     """
     wp = -(-w // 128) * 128
     s_rows = _pick_skip_rows(wp, h, len(ro_row), len(rw_fields), t_steps)
@@ -740,6 +747,8 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
         ) | jnp.concatenate([jnp.zeros((1,), jnp.int32), ms[:-1]])
     else:
         act0 = jnp.ones((nstrips,), jnp.int32)
+    if idle is not None and not no_skip:
+        act0 = jnp.where(idle, jnp.zeros_like(act0), act0)
     st = (act0, jnp.int32(0), tuple(rw_pad))
     st = jax.lax.while_loop(cond, body, st)
     out = [x[t_steps : t_steps + h, :w] for x in st[2]]
@@ -748,7 +757,7 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
 
 def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
                      rw_fields, h, w, max_passes, sep_fn=None, t_steps=T,
-                     seed_mask=None):
+                     seed_mask=None, idle=None):
     """Two-phase fixpoint driver.
 
     Phase 1 — cheap T-step passes in row orientation only (no closures):
@@ -767,7 +776,7 @@ def _hybrid_fixpoint(prepare_fn, step_fn, closure_fn, ro_row, ro_col,
     rw1, unconv1, p1 = _step_fixpoint(
         prepare_fn, step_fn, ro_row, rw_fields, h, w,
         min(max_passes, WARM_PASSES), t_steps=t_steps, sep_fn=sep_fn,
-        seed_mask=seed_mask,
+        seed_mask=seed_mask, idle=idle,
     )
     st = (unconv1, p1, tuple(rw1))
 
@@ -1013,8 +1022,14 @@ def transpose_allow_bits(bits):
 
 
 def compmin_gossip(L, bw, be, sz, max_sweeps, closures=True,
-                   phase=None):
+                   phase=None, idle=None):
     """Returns (bw, be, sz, unconverged, passes).
+
+    idle: optional traced () bool — True when (bw, be, sz) is already the
+    component-wide fixpoint by construction (round 1: L is all-singleton,
+    so there are no same-label edges and the per-vertex values ARE the
+    component reductions). Zero passes, ~5.9 ms @1080p / ~24 ms @4K of
+    pure full-image certificate work saved (probe_pieces r4).
 
     closures=False runs step-only passes with the FULL pass budget instead
     of the two-phase hybrid: the speed path's components converge well
@@ -1030,13 +1045,13 @@ def compmin_gossip(L, bw, be, sz, max_sweeps, closures=True,
     if not closures:
         (bw, be, sz), unconv, passes = _step_fixpoint(
             _compmin_prepare, _compmin_step, [(L, -1)], rw, h, w,
-            max_passes, t_steps=t, sep_fn=_sep(_compmin_sep),
+            max_passes, t_steps=t, sep_fn=_sep(_compmin_sep), idle=idle,
         )
         return bw, be, sz, unconv, passes
     (bw, be, sz), unconv, passes = _hybrid_fixpoint(
         _compmin_prepare, _compmin_step, _compmin_closure,
         [(L, -1)], [(L.T, -1)], rw,
-        h, w, max_passes, sep_fn=_sep(_compmin_sep), t_steps=t,
+        h, w, max_passes, sep_fn=_sep(_compmin_sep), t_steps=t, idle=idle,
     )
     return bw, be, sz, unconv, passes
 

@@ -222,6 +222,7 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
         return advance(s, turbo._ground(
             s, w8, eid8, vidg, cfg.k, cfg.min_size, "felz", max_sweeps,
             tau=thresholds[s.bucket], comm=comm,
+            idle_compmin=s.it == 0,
         ))
 
     gst = jax.lax.while_loop(gcond, gbody, gst)
