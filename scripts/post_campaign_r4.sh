@@ -1,0 +1,68 @@
+#!/bin/bash
+# Round-4 follow-up, run AFTER the resumed evidence campaign finishes:
+#
+#   1. parity gate under the NEW code (idle-compmin landed mid-campaign;
+#      CLAUDE.md rule: no timing counts after a kernel-path change until
+#      hardware partitions match the oracle again),
+#   2. re-measure the turbo rungs (the campaign's turbo rows timed the
+#      pre-idle-compmin programs; rows are moved to perf_preidle_r4.jsonl),
+#   3. oracle-gated knob sweeps queued this round: peelcount (speed),
+#      gateq16/gateq8 (wb16 runtime), then promotion,
+#   4. summary tables.
+set -u -o pipefail
+cd "$(dirname "$0")/.."
+LOG=bench_out/post_campaign_$(date +%Y%m%d_%H%M).log
+
+ckpt() {
+  git add -A bench_out docs 2>/dev/null
+  git commit -q -m "$1" 2>/dev/null && echo "[ckpt] committed: $1" || true
+}
+
+{
+  echo "=== 1. parity gate under the idle-compmin code"
+  timeout 5400 python scripts/check_tpu_parity.py || {
+    echo "PARITY FAILED — stop; do not measure."
+    ckpt "TPU parity gate FAILED under idle-compmin code"
+    exit 1; }
+  ckpt "TPU parity gate clean under idle-compmin code"
+
+  echo "=== 2. re-measure turbo rungs (new code)"
+  python - <<'EOF'
+import json
+rows = [json.loads(l) for l in open('bench_out/perf.jsonl') if l.strip()]
+keep, moved = [], []
+for r in rows:
+    # plain-turbo rows timed the in-flight pre-idle-compmin process.
+    # EXCEPTIONS kept: the 8K row (section_eightk spawns a FRESH
+    # subprocess, which imported the new code from disk) and turbo_wb16
+    # (re-paying its ~1 h 4K Mosaic compile to refresh a <1% effect —
+    # round 1 is one of ~11+ quality rounds — is not worth campaign
+    # time; RESULTS_r4 annotates the rows instead).
+    stale = r.get('algorithm') == 'turbo' and r.get('height') != 4320
+    (moved if stale else keep).append(r)
+with open('bench_out/perf_preidle_r4.jsonl', 'a') as f:
+    for r in moved:
+        f.write(json.dumps(r) + '\n')
+with open('bench_out/perf.jsonl', 'w') as f:
+    for r in keep:
+        f.write(json.dumps(r) + '\n')
+print(f"moved {len(moved)} turbo rows to perf_preidle_r4.jsonl")
+EOF
+  timeout 28800 python scripts/run_evidence.py --sections perf,eightk,plots
+  ckpt "Turbo rungs re-measured under idle-compmin code"
+
+  echo "=== 3a. speed sweep: peelcount"
+  timeout 7200 python scripts/sweep_knobs.py \
+      --shapes 1080x1920 --configs baseline,peelcount || true
+  echo "=== 3b. wb16 gate sweep: gateq16/gateq8"
+  timeout 10800 python scripts/sweep_knobs.py --wb16 \
+      --shapes 1080x1920 --configs baseline,gateq16,gateq8 || true
+  python scripts/promote_knobs.py \
+      --sweep bench_out/sweep.jsonl --out bench_out/promoted_env.sh || true
+  ckpt "Round-4 queued knob sweeps (peelcount, gateq16/gateq8)"
+
+  echo "=== 4. summary"
+  python scripts/summarize_evidence.py > docs/EVIDENCE_r4.md 2>/dev/null \
+    && echo "[summary] wrote docs/EVIDENCE_r4.md" || true
+  ckpt "Evidence summary tables (round 4, post idle-compmin)"
+} 2>&1 | tee "$LOG"
