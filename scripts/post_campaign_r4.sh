@@ -1,14 +1,23 @@
 #!/bin/bash
-# Round-4 follow-up, run AFTER the resumed evidence campaign finishes:
+# Round-4 follow-up, run AFTER the resumed evidence campaign finishes.
+# Order chosen so the turbo ladder is re-measured ONCE, under the final
+# code+knob state:
 #
 #   1. parity gate under the NEW code (idle-compmin landed mid-campaign;
 #      CLAUDE.md rule: no timing counts after a kernel-path change until
 #      hardware partitions match the oracle again),
-#   2. re-measure the turbo rungs (the campaign's turbo rows timed the
-#      pre-idle-compmin programs; rows are moved to perf_preidle_r4.jsonl),
-#   3. oracle-gated knob sweeps queued this round: peelcount (speed),
-#      gateq16/gateq8 (wb16 runtime), then promotion,
-#   4. summary tables.
+#   2. oracle-gated knob sweeps queued this round (peelcount speed,
+#      gateq16/gateq8 wb16 runtime) — their baseline rows double as the
+#      idle-compmin A/B at 1080p,
+#   3. promotion -> campaign env (bench.py sources it; code-default flips
+#      are a human decision recorded in RESULTS, not automated here),
+#   4. re-measure the turbo rungs (the campaign's plain-turbo rows timed
+#      the pre-idle-compmin in-flight process; rows are moved aside —
+#      8K and turbo_wb16 rows are kept, see the mover comment),
+#   5. plots + summary tables.
+#
+# All three knob configs were pre-verified oracle-exact on CPU at 540p
+# blobs+textured before entering the sweep (session-3 log).
 set -u -o pipefail
 cd "$(dirname "$0")/.."
 LOG=bench_out/post_campaign_$(date +%Y%m%d_%H%M).log
@@ -26,7 +35,31 @@ ckpt() {
     exit 1; }
   ckpt "TPU parity gate clean under idle-compmin code"
 
-  echo "=== 2. re-measure turbo rungs (new code)"
+  echo "=== 2a. speed sweep: baseline (idle-compmin A/B vs sweep history)"
+  echo "        + peelcount"
+  timeout 7200 python scripts/sweep_knobs.py \
+      --shapes 1080x1920 --configs baseline,peelcount || true
+  echo "=== 2b. wb16 gate sweep: gateq16/gateq8"
+  timeout 10800 python scripts/sweep_knobs.py --wb16 \
+      --shapes 1080x1920 --configs baseline,gateq16,gateq8 || true
+  python scripts/promote_knobs.py \
+      --sweep bench_out/sweep.jsonl --out bench_out/promoted_env.sh \
+      --names-out bench_out/sweep_winner.json || true
+  ckpt "Round-4 queued knob sweeps (idle-compmin baseline, peelcount, gateq16/8)"
+
+  if [ -f bench_out/promoted_env.sh ]; then
+    set -a; . bench_out/promoted_env.sh; set +a
+    if env | grep -q '^GSEG_'; then
+      echo "[campaign env] $(env | grep '^GSEG_' | tr '\n' ' ')"
+      echo "=== 2c. 20-seed parity under the promoted env (default-flip license)"
+      timeout 5400 python scripts/check_tpu_parity.py --skip-540p \
+        && echo "[promoted-env parity] CLEAN" \
+        || echo "[promoted-env parity] FAILED — do NOT flip defaults"
+      ckpt "Promoted-env parity sweep (round-4 follow-up knobs)"
+    fi
+  fi
+
+  echo "=== 3. re-measure turbo rungs (final code + campaign env)"
   python - <<'EOF'
 import json
 rows = [json.loads(l) for l in open('bench_out/perf.jsonl') if l.strip()]
@@ -49,17 +82,7 @@ with open('bench_out/perf.jsonl', 'w') as f:
 print(f"moved {len(moved)} turbo rows to perf_preidle_r4.jsonl")
 EOF
   timeout 28800 python scripts/run_evidence.py --sections perf,eightk,plots
-  ckpt "Turbo rungs re-measured under idle-compmin code"
-
-  echo "=== 3a. speed sweep: peelcount"
-  timeout 7200 python scripts/sweep_knobs.py \
-      --shapes 1080x1920 --configs baseline,peelcount || true
-  echo "=== 3b. wb16 gate sweep: gateq16/gateq8"
-  timeout 10800 python scripts/sweep_knobs.py --wb16 \
-      --shapes 1080x1920 --configs baseline,gateq16,gateq8 || true
-  python scripts/promote_knobs.py \
-      --sweep bench_out/sweep.jsonl --out bench_out/promoted_env.sh || true
-  ckpt "Round-4 queued knob sweeps (peelcount, gateq16/gateq8)"
+  ckpt "Turbo rungs re-measured under idle-compmin code (+ promoted env)"
 
   echo "=== 4. summary"
   python scripts/summarize_evidence.py > docs/EVIDENCE_r4.md 2>/dev/null \
