@@ -84,6 +84,16 @@ EOF
   timeout 28800 python scripts/run_evidence.py --sections perf,eightk,plots
   ckpt "Turbo rungs re-measured under idle-compmin code (+ promoted env)"
 
+  echo "=== 3.5 4K cost attribution (round-5 planning: where do the"
+  echo "        ~420-465 ms go at 4K? peel pieces + per-round costs)"
+  timeout 3600 python scripts/probe_pieces.py 2160 3840 \
+      > bench_out/probe_pieces_4k.log 2>&1 \
+    && echo "[probe] pieces@4K done" || echo "[probe] pieces@4K FAILED/timeout"
+  timeout 3600 python scripts/probe_rounds.py 2160 3840 \
+      > bench_out/probe_rounds_4k.log 2>&1 \
+    && echo "[probe] rounds@4K done" || echo "[probe] rounds@4K FAILED/timeout"
+  ckpt "4K cost attribution probes (round-5 planning data)"
+
   echo "=== 4. summary"
   python scripts/summarize_evidence.py > docs/EVIDENCE_r4.md 2>/dev/null \
     && echo "[summary] wrote docs/EVIDENCE_r4.md" || true
