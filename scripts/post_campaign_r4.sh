@@ -35,13 +35,43 @@ ckpt() {
     exit 1; }
   ckpt "TPU parity gate clean under idle-compmin code"
 
-  echo "=== 2a. speed sweep: baseline (idle-compmin A/B vs sweep history)"
-  echo "        + peelcount"
+  # The resume chain (on_tunnel_up_resume.sh stages 3.4/3.5) may have
+  # already measured peelcount / gateq16 / gateq8 — sweep children are
+  # subprocesses, so those rows used the CURRENT (idle-compmin) disk code
+  # and need no re-run. The speed/wb16 BASELINE rows predate idle-compmin,
+  # so those are always re-measured here (the idle-compmin A/B).
+  SPEED_CFGS=$(python - <<'EOF'
+import json, os
+rows = [json.loads(l) for l in open('bench_out/sweep.jsonl')] \
+    if os.path.exists('bench_out/sweep.jsonl') else []
+def have(cfg, wb):
+    return any(r.get('config') == cfg and r.get('weight_buckets', 0) == wb
+               and (r['height'], r['width']) == (1080, 1920) for r in rows)
+cfgs = ['baseline'] + [c for c in ['peelcount'] if not have(c, 0)]
+print(','.join(cfgs))
+EOF
+)
+  Q_CFGS=$(python - <<'EOF'
+import json, os
+rows = [json.loads(l) for l in open('bench_out/sweep.jsonl')] \
+    if os.path.exists('bench_out/sweep.jsonl') else []
+def have(cfg):
+    return any(r.get('config') == cfg and r.get('weight_buckets', 0) == 16
+               and (r['height'], r['width']) == (1080, 1920) for r in rows)
+missing = [c for c in ['gateq16', 'gateq8'] if not have(c)]
+print('baseline,' + ','.join(missing) if missing else '')
+EOF
+)
+  echo "=== 2a. speed sweep: $SPEED_CFGS (baseline = idle-compmin A/B)"
   timeout 7200 python scripts/sweep_knobs.py \
-      --shapes 1080x1920 --configs baseline,peelcount || true
-  echo "=== 2b. wb16 gate sweep: gateq16/gateq8"
-  timeout 10800 python scripts/sweep_knobs.py --wb16 \
-      --shapes 1080x1920 --configs baseline,gateq16,gateq8 || true
+      --shapes 1080x1920 --configs "$SPEED_CFGS" || true
+  if [ -n "$Q_CFGS" ]; then
+    echo "=== 2b. wb16 gate sweep: $Q_CFGS"
+    timeout 10800 python scripts/sweep_knobs.py --wb16 \
+        --shapes 1080x1920 --configs "$Q_CFGS" || true
+  else
+    echo "=== 2b. wb16 gate sweep already measured by the resume chain — skip"
+  fi
   python scripts/promote_knobs.py \
       --sweep bench_out/sweep.jsonl --out bench_out/promoted_env.sh \
       --names-out bench_out/sweep_winner.json || true
