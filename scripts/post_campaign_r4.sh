@@ -111,7 +111,12 @@ with open('bench_out/perf.jsonl', 'w') as f:
         f.write(json.dumps(r) + '\n')
 print(f"moved {len(moved)} turbo rows to perf_preidle_r4.jsonl")
 EOF
-  timeout 28800 python scripts/run_evidence.py --sections perf,eightk,plots
+  # perf bounded on its own: if a missing wb16 rung (ladder-last) re-enters
+  # its multi-hour 4K Mosaic compile and hangs, the cap frees the chain —
+  # the turbo rungs before it are checkpointed per rung either way.
+  timeout 10800 python scripts/run_evidence.py --sections perf
+  timeout 15000 python scripts/run_evidence.py --sections eightk
+  timeout 1800 python scripts/run_evidence.py --sections plots
   ckpt "Turbo rungs re-measured under idle-compmin code (+ promoted env)"
 
   echo "=== 3.5 4K cost attribution (round-5 planning: where do the"
