@@ -28,6 +28,17 @@ ckpt() {
 }
 
 {
+  echo "=== 0. wait for the tunnel (the waiter may fire this runbook right"
+  echo "       after a campaign was killed over a DEAD tunnel; session-3"
+  echo "       rule: never start a gate/timing stage without a live probe)"
+  if timeout 21600 bash scripts/tunnel_watch.sh; then
+    echo "[tunnel] up — proceeding"
+  else
+    echo "[tunnel] still down after 6h — abort (nothing measured)"
+    ckpt "post-campaign aborted: tunnel down for 6h"
+    exit 1
+  fi
+
   echo "=== 1. parity gate under the idle-compmin code"
   timeout 5400 python scripts/check_tpu_parity.py || {
     echo "PARITY FAILED — stop; do not measure."
