@@ -138,6 +138,15 @@ EOF
   timeout 3600 python scripts/probe_rounds.py 2160 3840 \
       > bench_out/probe_rounds_4k.log 2>&1 \
     && echo "[probe] rounds@4K done" || echo "[probe] rounds@4K FAILED/timeout"
+  # fixpoint-call floor decomposition (is the ~4 ms zero-pass overhead
+  # pads, scans, or dispatch structure? decides the pad-once-per-stage
+  # refactor) at 1080p and 4K:
+  timeout 1800 python scripts/probe_floor.py 1080 1920 \
+      > bench_out/probe_floor_1080.log 2>&1 \
+    && echo "[probe] floor@1080p done" || echo "[probe] floor@1080p FAILED"
+  timeout 1800 python scripts/probe_floor.py 2160 3840 \
+      > bench_out/probe_floor_4k.log 2>&1 \
+    && echo "[probe] floor@4K done" || echo "[probe] floor@4K FAILED"
   ckpt "4K cost attribution probes (round-5 planning data)"
 
   echo "=== 4. summary"
