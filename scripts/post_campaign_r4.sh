@@ -20,6 +20,7 @@
 # blobs+textured before entering the sweep (session-3 log).
 set -u -o pipefail
 cd "$(dirname "$0")/.."
+echo $$ > /tmp/post_campaign_run.pid  # end-of-round free_chip.sh target
 LOG=bench_out/post_campaign_$(date +%Y%m%d_%H%M).log
 
 ckpt() {
