@@ -127,7 +127,9 @@ EOF
   # its multi-hour 4K Mosaic compile and hangs, the cap frees the chain —
   # the turbo rungs before it are checkpointed per rung either way.
   timeout 10800 python scripts/run_evidence.py --sections perf
-  timeout 15000 python scripts/run_evidence.py --sections eightk
+  # batch (VERDICT item 8): the quarantined r3 batch.jsonl needs a valid
+  # successor; runs before the multi-hour 8K gamble so it always lands.
+  timeout 7200 python scripts/run_evidence.py --sections batch
   timeout 1800 python scripts/run_evidence.py --sections plots
   ckpt "Turbo rungs re-measured under idle-compmin code (+ promoted env)"
 
@@ -154,4 +156,11 @@ EOF
   python scripts/summarize_evidence.py > docs/EVIDENCE_r4.md 2>/dev/null \
     && echo "[summary] wrote docs/EVIDENCE_r4.md" || true
   ckpt "Evidence summary tables (round 4, post idle-compmin)"
+
+  echo "=== 5. 8K rung LAST (multi-hour Mosaic-compile gamble; everything"
+  echo "        above is already checkpointed if this times out)"
+  timeout 15000 python scripts/run_evidence.py --sections eightk
+  timeout 1800 python scripts/run_evidence.py --sections plots
+  python scripts/summarize_evidence.py > docs/EVIDENCE_r4.md 2>/dev/null || true
+  ckpt "8K turbo rung on chip (+ refreshed plots/summary)"
 } 2>&1 | tee "$LOG"
