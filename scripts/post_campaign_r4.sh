@@ -32,11 +32,14 @@ ckpt() {
   echo "=== 0. wait for the tunnel (the waiter may fire this runbook right"
   echo "       after a campaign was killed over a DEAD tunnel; session-3"
   echo "       rule: never start a gate/timing stage without a live probe)"
-  if timeout 21600 bash scripts/tunnel_watch.sh; then
+  # effectively unbounded: a flappy tunnel (down 08:19->08:31 on 08-20)
+  # must not abort the round's only measurement chain; the end-of-round
+  # free_chip.sh tree-kill is the cleanup path either way.
+  if timeout 100000 bash scripts/tunnel_watch.sh; then
     echo "[tunnel] up — proceeding"
   else
-    echo "[tunnel] still down after 6h — abort (nothing measured)"
-    ckpt "post-campaign aborted: tunnel down for 6h"
+    echo "[tunnel] still down after 27h — abort (nothing measured)"
+    ckpt "post-campaign aborted: tunnel down for 27h"
     exit 1
   fi
 
