@@ -32,14 +32,14 @@ ckpt() {
   echo "=== 0. wait for the tunnel (the waiter may fire this runbook right"
   echo "       after a campaign was killed over a DEAD tunnel; session-3"
   echo "       rule: never start a gate/timing stage without a live probe)"
-  # effectively unbounded: a flappy tunnel (down 08:19->08:31 on 08-20)
+  # bounded at 100000s (~28h) — long enough to survive a flappy tunnel
   # must not abort the round's only measurement chain; the end-of-round
   # free_chip.sh tree-kill is the cleanup path either way.
   if timeout 100000 bash scripts/tunnel_watch.sh; then
     echo "[tunnel] up — proceeding"
   else
-    echo "[tunnel] still down after 27h — abort (nothing measured)"
-    ckpt "post-campaign aborted: tunnel down for 27h"
+    echo "[tunnel] still down after ~28h (100000s) — abort (nothing measured)"
+    ckpt "post-campaign aborted: tunnel down for ~28h"
     exit 1
   fi
 
@@ -105,6 +105,13 @@ EOF
   fi
 
   echo "=== 3. re-measure turbo rungs (final code + campaign env)"
+  # Idempotency sentinel (ADVICE r4): the mover below must only quarantine
+  # genuinely pre-idle-compmin rows. The first firing leaves the sentinel;
+  # re-firings (the runbook is reboot-resumable) skip the move so freshly
+  # re-measured rows are never mislabeled as pre-fix data.
+  if [ -e bench_out/.preidle_quarantine_done ]; then
+    echo "[quarantine] sentinel present — skipping (already ran)"
+  else
   python - <<'EOF'
 import json
 rows = [json.loads(l) for l in open('bench_out/perf.jsonl') if l.strip()]
@@ -126,6 +133,8 @@ with open('bench_out/perf.jsonl', 'w') as f:
         f.write(json.dumps(r) + '\n')
 print(f"moved {len(moved)} turbo rows to perf_preidle_r4.jsonl")
 EOF
+  touch bench_out/.preidle_quarantine_done
+  fi
   # perf bounded on its own: if a missing wb16 rung (ladder-last) re-enters
   # its multi-hour 4K Mosaic compile and hangs, the cap frees the chain —
   # the turbo rungs before it are checkpointed per rung either way.
