@@ -185,7 +185,7 @@ def prep_fn(cfg: SegmentationConfig):
 def run_performance_ladder(
     algorithms: Sequence[str] = ("turbo",),
     resolutions: Sequence = RESOLUTION_LADDER,
-    reps: int = 5,
+    reps: int = 20,
     cfg: SegmentationConfig | None = None,
     out_path: str | None = None,
     content: str = "blobs",

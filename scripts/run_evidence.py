@@ -103,7 +103,7 @@ def section_perf(out_dir: str) -> list:
             try:                 # must not lose the rest of the ladder
                 rs = harness.run_performance_ladder(
                     algorithms=[base_algo(name)], resolutions=[res],
-                    reps=5, cfg=cfg, content=content,
+                    reps=20, cfg=cfg, content=content,
                 )
             except Exception as e:
                 msg = str(e).splitlines()[0][:300]
