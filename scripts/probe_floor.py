@@ -46,13 +46,16 @@ def fence(x):
     return float(jnp.max(jnp.where(jnp.isfinite(x), x, 0.0)))
 
 
-def timeloop(name, looped, carry, n, reps=3):
-    out = looped(carry)
+def timeloop(name, looped, carry, n, consts=(), reps=3):
+    # consts are explicit jit args, not closure constants: the axon
+    # tunnel compiles remotely and inlined multi-MB constants blow its
+    # request-size cap (HTTP 413 at 4K, round 5).
+    out = looped(carry, tuple(consts))
     fence(out if hasattr(out, "dtype") else out[0])
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = looped(carry)
+        out = looped(carry, tuple(consts))
         fence(out if hasattr(out, "dtype") else out[0])
         ts.append(time.perf_counter() - t0)
     per = min(ts) / n * 1e3
@@ -83,10 +86,12 @@ def main(h=1080, w=1920):
         ID=jnp.zeros((h, w), jnp.float32), merged=jnp.bool_(True),
         it=jnp.int32(0), bucket=jnp.int32(0), flags=jnp.int32(0),
     )
-    ground = jax.jit(lambda s: turbo._ground(
-        s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", ms, sizes="count",
+    ground = jax.jit(lambda s, w8_, eid8_: turbo._ground(
+        s, w8_, eid8_,
+        jnp.arange(v, dtype=jnp.int32).reshape(h, w),
+        cfg.k, cfg.min_size, "felz", ms, sizes="count",
         closures=False))
-    g1 = ground(gst)
+    g1 = ground(gst, w8, eid8)
     L, ID = g1.L, g1.ID
 
     @jax.jit
@@ -108,7 +113,7 @@ def main(h=1080, w=1920):
           flush=True)
 
     # --- pads: pad 3 fields in (1 ro + 2 rw), slice 2 back out
-    def pads_step(Lc):
+    def pads_step(Lc, bits, ID):
         bp = pg._pad_field(bits, 0, t, hp, wp)
         lp = pg._pad_field(Lc, jnp.iinfo(jnp.int32).max, t, hp, wp)
         ip = pg._pad_field(ID, 0.0, t, hp, wp)
@@ -117,12 +122,17 @@ def main(h=1080, w=1920):
         return jnp.minimum(Lc, lo + (bp[t:t + h, :w] & 0)
                            + (io.astype(jnp.int32) & 0))
 
-    looped = jax.jit(lambda c: jax.lax.fori_loop(
-        0, n, lambda _, c: pads_step(c), c))
-    timeloop("pads      ", looped, L, n)
+    def _mkloop(step):
+        def body(_, st):
+            c, cs = st
+            return step(c, *cs), cs
+        return jax.jit(lambda c, cs: jax.lax.fori_loop(
+            0, n, body, (c, cs))[0])
+
+    timeloop("pads      ", _mkloop(pads_step), L, n, (bits, ID))
 
     # --- scans: pads + the activity-schedule ops
-    def scans_step(Lc):
+    def scans_step(Lc, bits, ID):
         mz = jnp.zeros((h, w), jnp.bool_)
         m = jnp.pad(mz, ((0, hp - h), (0, wp - w)))
         msk = jnp.max(m.reshape(nstrips, -1).astype(jnp.int32), axis=1)
@@ -134,51 +144,44 @@ def main(h=1080, w=1920):
         ord_ = jnp.cumsum(a) - a
         pidx = jnp.where(a > 0, ia, -1)
         prv = jax.lax.associative_scan(jnp.maximum, pidx)
-        return pads_step(Lc) + (jnp.max(act0 + ord_ + prv) & 0)
+        return pads_step(Lc, bits, ID) + (jnp.max(act0 + ord_ + prv) & 0)
 
-    looped = jax.jit(lambda c: jax.lax.fori_loop(
-        0, n, lambda _, c: scans_step(c), c))
-    timeloop("pads+scans", looped, L, n)
+    timeloop("pads+scans", _mkloop(scans_step), L, n, (bits, ID))
 
     # --- flood0: the full zero-pass label_flood
-    def flood0_step(Lc):
+    def flood0_step(Lc, bits, ID):
         Ln, IDn, unc, np_ = pg.label_flood(
             bits, Lc, ID, ms, closures=False, phase="peel",
             seed_mask=jnp.zeros_like(Lc, jnp.bool_))
         return jnp.minimum(Lc, Ln)
 
-    looped = jax.jit(lambda c: jax.lax.fori_loop(
-        0, n, lambda _, c: flood0_step(c), c))
-    timeloop("flood0    ", looped, L, n)
+    timeloop("flood0    ", _mkloop(flood0_step), L, n, (bits, ID))
 
     # --- compmin0: zero-pass compmin (idle=True)
     vminw, veid, _ = jax.jit(
-        lambda Lc: turbo._vertex_min_outgoing(Lc, w8, eid8))(L)
+        turbo._vertex_min_outgoing)(L, w8, eid8)
     S = g1.S
 
-    def compmin0_step(Lc):
+    def compmin0_step(Lc, vminw, veid, S):
         cw, ce, SZ, unconv, np_ = pg.compmin_gossip(
             Lc, vminw, veid, S, ms, closures=False, phase="peel",
             idle=jnp.bool_(True))
         return Lc ^ (ce & 0)
 
-    looped = jax.jit(lambda c: jax.lax.fori_loop(
-        0, n, lambda _, c: compmin0_step(c), c))
-    timeloop("compmin0  ", looped, L, n)
+    timeloop("compmin0  ", _mkloop(compmin0_step), L, n,
+             (vminw, veid, S))
 
     # --- one-pass flood for contrast (all strips active once):
     # seed one hook pixel per strip so every strip runs exactly pass 1.
     seed = jnp.zeros((h, w), jnp.bool_).at[::max(s_rows, 1), 0].set(True)
 
-    def flood1_step(Lc):
+    def flood1_step(Lc, bits, ID, seed):
         Ln, IDn, unc, np_ = pg.label_flood(
             bits, Lc, ID, ms, closures=False, phase="peel",
             seed_mask=seed)
         return jnp.minimum(Lc, Ln)
 
-    looped = jax.jit(lambda c: jax.lax.fori_loop(
-        0, n, lambda _, c: flood1_step(c), c))
-    timeloop("flood1pass", looped, L, n)
+    timeloop("flood1pass", _mkloop(flood1_step), L, n, (bits, ID, seed))
 
 
 if __name__ == "__main__":

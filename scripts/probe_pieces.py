@@ -47,18 +47,23 @@ def fence(x):
     return float(jnp.max(jnp.where(jnp.isfinite(x), x, 0.0)))
 
 
-def timeloop(name, fn, n, *args, reps=3):
-    """fn must map its first arg to a same-shaped output (loop carry)."""
-    def body(_, c):
-        return fn(c, *args[1:])
+def timeloop(name, fn, n, carry, consts=(), reps=3):
+    """fn(carry, *consts) -> carry. consts are threaded as explicit jit
+    ARGUMENTS (not closure constants): the axon tunnel compiles remotely
+    and inlined multi-MB closure constants blow the request-size cap
+    (HTTP 413 at 4K, round 5)."""
+    def body(_, st):
+        c, cs = st
+        return fn(c, *cs), cs
 
-    looped = jax.jit(lambda c: jax.lax.fori_loop(0, n, body, c))
-    out = looped(args[0])
+    looped = jax.jit(
+        lambda c, cs: jax.lax.fori_loop(0, n, body, (c, cs))[0])
+    out = looped(carry, tuple(consts))
     fence(out if hasattr(out, "dtype") else out[0])
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = looped(args[0])
+        out = looped(carry, tuple(consts))
         fence(out if hasattr(out, "dtype") else out[0])
         ts.append(time.perf_counter() - t0)
     per = min(ts) / n * 1e3
@@ -88,11 +93,13 @@ def main(h=1080, w=1920):
         ID=jnp.zeros((h, w), jnp.float32), merged=jnp.bool_(True),
         it=jnp.int32(0), bucket=jnp.int32(0), flags=jnp.int32(0),
     )
-    ground = jax.jit(lambda s: turbo._ground(
-        s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", ms, sizes="count",
+    ground = jax.jit(lambda s, w8_, eid8_: turbo._ground(
+        s, w8_, eid8_,
+        jnp.arange(v, dtype=jnp.int32).reshape(h, w),
+        cfg.k, cfg.min_size, "felz", ms, sizes="count",
         closures=False))
-    g1 = ground(gst)
-    g2 = ground(g1)
+    g1 = ground(gst, w8, eid8)
+    g2 = ground(g1, w8, eid8)
     print(f"comps r1={int(jnp.sum((g1.L == vid).astype(jnp.int32)))} "
           f"r2={int(jnp.sum((g2.L == vid).astype(jnp.int32)))}", flush=True)
 
@@ -100,32 +107,35 @@ def main(h=1080, w=1920):
         L, S, ID = g.L, g.S, g.ID
 
         # --- vertexmin (carry: L via a dependency trick - xor 0)
-        def vmin_step(Lc):
-            vminw, veid, _ = turbo._vertex_min_outgoing(Lc, w8, eid8)
+        def vmin_step(Lc, w8_, eid8_):
+            vminw, veid, _ = turbo._vertex_min_outgoing(Lc, w8_, eid8_)
             # fold outputs back into the carry without changing it
             return Lc ^ (veid & 0)
 
-        timeloop(f"{tag} vertexmin ", vmin_step, 20, L)
+        timeloop(f"{tag} vertexmin ", vmin_step, 20, L, (w8, eid8))
 
         # real vertexmin outputs for the downstream pieces
         vminw, veid, nbrL = jax.jit(
-            lambda Lc: turbo._vertex_min_outgoing(Lc, w8, eid8))(L)
+            turbo._vertex_min_outgoing)(L, w8, eid8)
 
         # --- compmin fixpoint (Pallas)
         from gseg_tpu.ops.pallas import gossip as pg
 
-        def compmin_step(Lc):
+        def compmin_step(Lc, vminw_, veid_, S_):
             cw, ce, SZ, unconv, np_ = pg.compmin_gossip(
-                Lc, vminw, veid, S, ms, closures=False, phase="peel")
+                Lc, vminw_, veid_, S_, ms, closures=False, phase="peel")
             return Lc ^ (ce & 0)
 
-        timeloop(f"{tag} compmin   ", compmin_step, 8, L)
+        timeloop(f"{tag} compmin   ", compmin_step, 8, L,
+                 (vminw, veid, S))
 
-        cw, ce, SZ, _, _ = jax.jit(lambda Lc: pg.compmin_gossip(
-            Lc, vminw, veid, S, ms, closures=False, phase="peel"))(L)
+        cw, ce, SZ, _, _ = jax.jit(
+            lambda Lc, a, b, c: pg.compmin_gossip(
+                Lc, a, b, c, ms, closures=False, phase="peel")
+        )(L, vminw, veid, S)
 
         # --- mask chain: predicate + owner/pass/allow/hook + id_init
-        def mask_step(IDc):
+        def mask_step(IDc, SZ, cw, ce, nbrL, L, w8, eid8):
             kf = jnp.float32(cfg.k)
             SZf = SZ.astype(jnp.float32)
             my_ok = (cw - IDc) * SZf <= kf
@@ -156,7 +166,8 @@ def main(h=1080, w=1920):
             bits = pg.pack_allow_bits(list(allow8))
             return IDc + (id_init * 0) + (bits & 0).astype(jnp.float32)
 
-        timeloop(f"{tag} maskchain ", mask_step, 20, ID)
+        timeloop(f"{tag} maskchain ", mask_step, 20, ID,
+                 (SZ, cw, ce, nbrL, L, w8, eid8))
 
         # --- flood (same-label allow: converged -> measures per-call floor)
         @jax.jit
@@ -169,13 +180,13 @@ def main(h=1080, w=1920):
 
         bits = allow_bits_of(L)
 
-        def flood_step(Lc):
+        def flood_step(Lc, bits_, ID_):
             Ln, IDn, unc, np_ = pg.label_flood(
-                bits, Lc, ID, ms, closures=False, phase="peel",
+                bits_, Lc, ID_, ms, closures=False, phase="peel",
                 seed_mask=jnp.zeros_like(Lc, jnp.bool_))
             return jnp.minimum(Lc, Ln)
 
-        timeloop(f"{tag} flood(cvg)", flood_step, 8, L)
+        timeloop(f"{tag} flood(cvg)", flood_step, 8, L, (bits, ID))
 
         # --- countsizes (flat scatter-add)
         def count_step(Lc):
@@ -208,13 +219,16 @@ def main(h=1080, w=1920):
     # --- subtree convergecast on the round-1 dist field (subsum scheme)
     dist0 = jnp.where(gst.L == vid, jnp.int32(0), turbo.BIGDIST)
     # regenerate round-1 allow bits + flood with dist to get a real dist
-    g1d = jax.jit(lambda s: turbo._ground(
-        s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", ms,
-        sizes="subsum", closures=False))(gst)
+    g1d = jax.jit(lambda s, w8_, eid8_: turbo._ground(
+        s, w8_, eid8_,
+        jnp.arange(v, dtype=jnp.int32).reshape(h, w),
+        cfg.k, cfg.min_size, "felz", ms,
+        sizes="subsum", closures=False))(gst, w8, eid8)
 
     def subtree_step(Lc):
+        vid_ = jnp.arange(Lc.size, dtype=jnp.int32).reshape(Lc.shape)
         Sn, unc = turbo._subtree_sizes(
-            Lc, jnp.where(Lc == vid, 0, 1), ms)
+            Lc, jnp.where(Lc == vid_, 0, 1), ms)
         return Lc ^ (Sn & 0)
 
     # NOTE: the fake dist makes every non-root a depth-1 child of nothing -

@@ -71,19 +71,25 @@ def main(h=1080, w=1920):
         it=jnp.int32(0), bucket=jnp.int32(0), flags=jnp.int32(0),
     )
 
-    ground_sub = jax.jit(lambda s: turbo._ground(
-        s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", ms,
+    # big arrays threaded as explicit jit args: the axon tunnel compiles
+    # remotely and inlined closure constants blow its request-size cap
+    # (HTTP 413 at 4K, round 5). vid is rebuilt in-trace (iota is free).
+    def _vid():
+        return jnp.arange(v, dtype=jnp.int32).reshape(h, w)
+
+    ground_sub = jax.jit(lambda s, w8_, eid8_: turbo._ground(
+        s, w8_, eid8_, _vid(), cfg.k, cfg.min_size, "felz", ms,
         sizes="count"))
-    g1 = timeit("round1 (count) ", ground_sub, gst)
-    g2 = timeit("round2 (count) ", ground_sub, g1)
+    g1 = timeit("round1 (count) ", ground_sub, gst, w8, eid8)
+    g2 = timeit("round2 (count) ", ground_sub, g1, w8, eid8)
     build = jax.jit(functools.partial(
         turbo._build_rlist, cap=max(v // 8, 16384)))
     rl, _ = timeit("build_rlist    ", build, g2.L)
-    ground_rl = jax.jit(lambda s, r: turbo._ground(
-        s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", ms, rlist=r,
+    ground_rl = jax.jit(lambda s, r, w8_, eid8_: turbo._ground(
+        s, w8_, eid8_, _vid(), cfg.k, cfg.min_size, "felz", ms, rlist=r,
         sizes="rlist"))
-    g3, rl3 = timeit("round3 (rlist) ", ground_rl, g2, rl)
-    g4, rl4 = timeit("round4 (rlist) ", ground_rl, g3, rl3)
+    g3, rl3 = timeit("round3 (rlist) ", ground_rl, g2, rl, w8, eid8)
+    g4, rl4 = timeit("round4 (rlist) ", ground_rl, g3, rl3, w8, eid8)
     for r, g in (("1", g1), ("2", g2), ("3", g3), ("4", g4)):
         print(f"  comps after round {r}: "
               f"{int(jnp.sum((g.L == vid).astype(jnp.int32)))}", flush=True)
@@ -94,19 +100,20 @@ def main(h=1080, w=1920):
     csz = jax.jit(lambda L: turbo._component_sizes(L)[0])
     timeit("  r1 countsizes ", csz, g1.L)
     timeit("  r2 countsizes ", csz, g2.L)
-    ground_ss = jax.jit(lambda s: turbo._ground(
-        s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", ms,
+    ground_ss = jax.jit(lambda s, w8_, eid8_: turbo._ground(
+        s, w8_, eid8_, _vid(), cfg.k, cfg.min_size, "felz", ms,
         sizes="subsum"))
-    s1 = timeit("round1 (subsum)", ground_ss, gst)
-    s2 = timeit("round2 (subsum)", ground_ss, s1)
+    s1 = timeit("round1 (subsum)", ground_ss, gst, w8, eid8)
+    s2 = timeit("round2 (subsum)", ground_ss, s1, w8, eid8)
     print(f"  subsum L == count L after r2: "
           f"{bool(jnp.all(s2.L == g2.L))}", flush=True)
 
     # sub-pieces of round 3 (the first rlist round)
     from gseg_tpu.ops.pallas import gossip as pg
 
-    vmin = jax.jit(lambda s: turbo._vertex_min_outgoing(s.L, w8, eid8))
-    vminw, veid, _ = timeit("  r3 vertexmin ", vmin, g2)
+    vmin = jax.jit(
+        lambda s, w8_, eid8_: turbo._vertex_min_outgoing(s.L, w8_, eid8_))
+    vminw, veid, _ = timeit("  r3 vertexmin ", vmin, g2, w8, eid8)
     cm = jax.jit(lambda L, bw, be, S: pg.compmin_gossip(L, bw, be, S, ms))
     out = timeit("  r3 compmin   ", cm, g2.L, vminw, veid, g2.S)
     print(f"    compmin passes: {int(out[4])}", flush=True)
@@ -128,10 +135,10 @@ def main(h=1080, w=1920):
     # warm-pass sweep on the full round 3
     for warm in (2, 8, 1 << 20):
         pg.WARM_PASSES = warm
-        gr = jax.jit(lambda s, r: turbo._ground(
-            s, w8, eid8, vid, cfg.k, cfg.min_size, "felz", ms, rlist=r,
-            sizes="rlist"))
-        timeit(f"  round3 warm={warm:>7}", gr, g2, rl)
+        gr = jax.jit(lambda s, r, w8_, eid8_: turbo._ground(
+            s, w8_, eid8_, _vid(), cfg.k, cfg.min_size, "felz", ms,
+            rlist=r, sizes="rlist"))
+        timeit(f"  round3 warm={warm:>7}", gr, g2, rl, w8, eid8)
     pg.WARM_PASSES = 4
 
 
