@@ -281,7 +281,10 @@ def _strip_call(prepare_fn, step_fn, closure_fn, ro_fields, rw_fields, h, w,
             constant_values=fill,
         )
 
-    ins = [padded(x, f) for x, f in ro_fields + rw_fields]
+    if _fastpad_on():
+        ins = _fast_pad_fields(ro_fields + rw_fields, t_steps, hp, wp)
+    else:
+        ins = [padded(x, f) for x, f in ro_fields + rw_fields]
     n_ro = len(ro_fields)
     n_rw = len(rw_fields)
 
@@ -361,7 +364,10 @@ def _strip_call(prepare_fn, step_fn, closure_fn, ro_fields, rw_fields, h, w,
         out_shape=out_shapes,
         scratch_shapes=scratch_shapes,
     )(*ins)
-    new_rw = [o[:h, :w] for o in outs[:n_rw]]
+    if _fastpad_on():
+        new_rw = _fast_unpad_fields(list(outs[:n_rw]), 0, h, w)
+    else:
+        new_rw = [o[:h, :w] for o in outs[:n_rw]]
     changed = outs[n_rw][0, 0] > 0
     return new_rw, changed
 
@@ -674,6 +680,150 @@ def _pad_field(x, fill, t_steps, hp, wp):
     )
 
 
+FASTPAD_FB = 64  # fill-tile rows resident in VMEM per field
+
+
+def _fastpad_on() -> bool:
+    return _os.environ.get("GSEG_FASTPAD", "1") != "0"
+
+
+def _fast_pad_fields(fields, t_steps, hp, wp):
+    """Pad k (h, w) fields to (hp + 2*t_steps, wp) — per-field fill values
+    — in ONE Pallas program of HBM->HBM DMAs.
+
+    XLA's pad+slice materialization runs at ~2% of v5e HBM bandwidth and
+    dominated the per-fixpoint-call floor: a ZERO-pass label_flood call
+    measured 2.61 ms @1080p of which 2.50 ms was the 3-pad + 2-slice
+    entry/exit alone, while a real compute pass added only ~0.5 ms
+    (probe_floor, round 5). Phase 1 tiles every output with its fill
+    value from a VMEM tile; phase 2 lays the data block over it. ~3x the
+    data bytes moved (fill-over-data overlap) but at DMA speed, so the
+    call floor drops ~25x.
+
+    fields: [(x, fill), ...] with identical (h, w) shapes (mixed dtypes
+    fine). Returns k arrays of (hp + 2*t_steps, wp).
+    """
+    k = len(fields)
+    h, w = fields[0][0].shape
+    hpad = hp + 2 * t_steps
+    if hpad == h and wp == w:
+        return [x for x, _ in fields]
+    nfull, rem = divmod(hpad, FASTPAD_FB)
+    # fills must be PYTHON scalars: a jnp scalar (e.g. label_gossip's
+    # jnp.int32 BIGDIST) would be captured as a kernel constant, which
+    # pallas_call rejects.
+    import numpy as _np
+
+    fills = [f if isinstance(f, (int, float)) else _np.asarray(f).item()
+             for _, f in fields]
+    dtypes = [x.dtype for x, _ in fields]
+
+    def kernel(*refs):
+        in_refs = refs[:k]
+        out_refs = refs[k:2 * k]
+        fill_bufs = refs[2 * k:3 * k]
+        fill_sems = refs[3 * k]
+        data_sems = refs[3 * k + 1]
+        for j in range(k):
+            fill_bufs[j][...] = jnp.full(
+                (FASTPAD_FB, wp), fills[j], dtypes[j])
+        for j in range(k):
+            for b in range(nfull):
+                pltpu.make_async_copy(
+                    fill_bufs[j],
+                    out_refs[j].at[pl.ds(b * FASTPAD_FB, FASTPAD_FB), :],
+                    fill_sems.at[j, b],
+                ).start()
+            if rem:
+                pltpu.make_async_copy(
+                    fill_bufs[j].at[pl.ds(0, rem), :],
+                    out_refs[j].at[pl.ds(nfull * FASTPAD_FB, rem), :],
+                    fill_sems.at[j, nfull],
+                ).start()
+        for j in range(k):
+            for b in range(nfull):
+                pltpu.make_async_copy(
+                    fill_bufs[j],
+                    out_refs[j].at[pl.ds(b * FASTPAD_FB, FASTPAD_FB), :],
+                    fill_sems.at[j, b],
+                ).wait()
+            if rem:
+                pltpu.make_async_copy(
+                    fill_bufs[j].at[pl.ds(0, rem), :],
+                    out_refs[j].at[pl.ds(nfull * FASTPAD_FB, rem), :],
+                    fill_sems.at[j, nfull],
+                ).wait()
+        # phase 2: the data block over the fills (fill DMAs on this
+        # region are already waited above, so the writes are ordered).
+        for j in range(k):
+            pltpu.make_async_copy(
+                in_refs[j],
+                out_refs[j].at[pl.ds(t_steps, h), pl.ds(0, w)],
+                data_sems.at[j],
+            ).start()
+        for j in range(k):
+            pltpu.make_async_copy(
+                in_refs[j],
+                out_refs[j].at[pl.ds(t_steps, h), pl.ds(0, w)],
+                data_sems.at[j],
+            ).wait()
+
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * k,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * k,
+        out_shape=[
+            jax.ShapeDtypeStruct((hpad, wp), dt) for dt in dtypes
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((FASTPAD_FB, wp), dt) for dt in dtypes
+        ] + [
+            pltpu.SemaphoreType.DMA((k, nfull + 1)),
+            pltpu.SemaphoreType.DMA((k,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(*[x for x, _ in fields])
+    return list(outs)
+
+
+def _fast_unpad_fields(fields, t_steps, h, w):
+    """Slice k (hp + 2t, wp) arrays back to (h, w) via HBM->HBM DMAs
+    (the exit half of _fast_pad_fields; XLA slices share the pad's slow
+    materialization)."""
+    k = len(fields)
+    if fields[0].shape == (h, w) and t_steps == 0:
+        return list(fields)
+
+    def kernel(*refs):
+        in_refs = refs[:k]
+        out_refs = refs[k:2 * k]
+        sems = refs[2 * k]
+        for j in range(k):
+            pltpu.make_async_copy(
+                in_refs[j].at[pl.ds(t_steps, h), pl.ds(0, w)],
+                out_refs[j],
+                sems.at[j],
+            ).start()
+        for j in range(k):
+            pltpu.make_async_copy(
+                in_refs[j].at[pl.ds(t_steps, h), pl.ds(0, w)],
+                out_refs[j],
+                sems.at[j],
+            ).wait()
+
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * k,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * k,
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w), x.dtype) for x in fields
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((k,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(*fields)
+    return list(outs)
+
+
 def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
                    t_steps=T, sep_fn=None, seed_mask=None, idle=None):
     """Step-only T-step passes with converged-strip skipping.
@@ -711,8 +861,12 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
     s_rows = _pick_skip_rows(wp, h, len(ro_row), len(rw_fields), t_steps)
     hp = -(-h // s_rows) * s_rows
     nstrips = hp // s_rows
-    ro_pad = [_pad_field(x, f, t_steps, hp, wp) for x, f in ro_row]
-    rw_pad = [_pad_field(x, f, t_steps, hp, wp) for x, f in rw_fields]
+    if _fastpad_on():
+        allp = _fast_pad_fields(ro_row + rw_fields, t_steps, hp, wp)
+        ro_pad, rw_pad = allp[:len(ro_row)], allp[len(ro_row):]
+    else:
+        ro_pad = [_pad_field(x, f, t_steps, hp, wp) for x, f in ro_row]
+        rw_pad = [_pad_field(x, f, t_steps, hp, wp) for x, f in rw_fields]
     fills = [f for _, f in rw_fields]
 
     def cond(st):
@@ -751,7 +905,10 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
         act0 = jnp.where(idle, jnp.zeros_like(act0), act0)
     st = (act0, jnp.int32(0), tuple(rw_pad))
     st = jax.lax.while_loop(cond, body, st)
-    out = [x[t_steps : t_steps + h, :w] for x in st[2]]
+    if _fastpad_on():
+        out = _fast_unpad_fields(list(st[2]), t_steps, h, w)
+    else:
+        out = [x[t_steps : t_steps + h, :w] for x in st[2]]
     return out, jnp.max(st[0]) > 0, st[1]
 
 
