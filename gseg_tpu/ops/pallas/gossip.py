@@ -709,13 +709,16 @@ def _fast_pad_fields(fields, t_steps, hp, wp):
     if hpad == h and wp == w:
         return [x for x, _ in fields]
     nfull, rem = divmod(hpad, FASTPAD_FB)
-    # fills must be PYTHON scalars: a jnp scalar (e.g. label_gossip's
-    # jnp.int32 BIGDIST) would be captured as a kernel constant, which
-    # pallas_call rejects.
-    import numpy as _np
-
-    fills = [f if isinstance(f, (int, float)) else _np.asarray(f).item()
-             for _, f in fields]
+    # fills must be PYTHON scalars: an array fill would be captured as a
+    # kernel constant (pallas_call rejects those), and under an outer jit
+    # it is a Tracer that cannot be converted at all. All callers pass
+    # static fills; assert rather than silently mis-tracing.
+    for _, f in fields:
+        if not isinstance(f, (int, float)):
+            raise TypeError(
+                f"_fast_pad_fields fill must be a python scalar, got "
+                f"{type(f)} — pass the fill statically")
+    fills = [f for _, f in fields]
     dtypes = [x.dtype for x, _ in fields]
 
     def kernel(*refs):
@@ -1232,7 +1235,7 @@ def label_gossip(allow_bits, Lc, idf, dist, max_sweeps, phase=None):
         _allow_prepare, _label_step,
         [(allow_bits, 0)],
         [(Lc, jnp.iinfo(jnp.int32).max), (idf, 0.0),
-         (dist, jnp.int32(1 << 30))],
+         (dist, 1 << 30)],
         h, w, max_passes, t_steps=t, sep_fn=_sep(_label_sep),
     )
     return Lc, idf, dist, unconv, passes
