@@ -708,6 +708,10 @@ def _fast_pad_fields(fields, t_steps, hp, wp):
     hpad = hp + 2 * t_steps
     if hpad == h and wp == w:
         return [x for x, _ in fields]
+    if t_steps % 8:
+        # Mosaic requires DMA slice row offsets divisible by the (8, 128)
+        # tiling; the scan-closure path (T_SCAN=4) falls back to XLA pads.
+        return [_pad_field(x, f, t_steps, hp, wp) for x, f in fields]
     nfull, rem = divmod(hpad, FASTPAD_FB)
     # fills must be PYTHON scalars: an array fill would be captured as a
     # kernel constant (pallas_call rejects those), and under an outer jit
@@ -796,6 +800,8 @@ def _fast_unpad_fields(fields, t_steps, h, w):
     k = len(fields)
     if fields[0].shape == (h, w) and t_steps == 0:
         return list(fields)
+    if t_steps % 8:
+        return [x[t_steps:t_steps + h, :w] for x in fields]
 
     def kernel(*refs):
         in_refs = refs[:k]
