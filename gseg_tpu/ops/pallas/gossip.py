@@ -281,7 +281,7 @@ def _strip_call(prepare_fn, step_fn, closure_fn, ro_fields, rw_fields, h, w,
             constant_values=fill,
         )
 
-    if _fastpad_on():
+    if _fastpad_on(w):
         ins = _fast_pad_fields(ro_fields + rw_fields, t_steps, hp, wp)
     else:
         ins = [padded(x, f) for x, f in ro_fields + rw_fields]
@@ -364,7 +364,7 @@ def _strip_call(prepare_fn, step_fn, closure_fn, ro_fields, rw_fields, h, w,
         out_shape=out_shapes,
         scratch_shapes=scratch_shapes,
     )(*ins)
-    if _fastpad_on():
+    if _fastpad_on(w):
         new_rw = _fast_unpad_fields(list(outs[:n_rw]), 0, h, w)
     else:
         new_rw = [o[:h, :w] for o in outs[:n_rw]]
@@ -683,8 +683,21 @@ def _pad_field(x, fill, t_steps, hp, wp):
 FASTPAD_FB = 64  # fill-tile rows resident in VMEM per field
 
 
-def _fastpad_on() -> bool:
-    return _os.environ.get("GSEG_FASTPAD", "1") != "0"
+def _fastpad_on(w: int) -> bool:
+    """DMA pad/unpad vs XLA pad+slice at fixpoint entry/exit.
+
+    Measured end-to-end (r5 sweep, oracle-gated): the DMA path LOSES
+    ~5 ms @1080p (per-call kernel-launch overhead beats the pad saving at
+    8 MB fields) but cuts the 4K per-call floor ~2x (probe_pieces /
+    probe_floor: flood floor 7.0 -> 3.2 ms; 33 MB fields amortize the
+    launch). auto = on for wide images only. GSEG_FASTPAD: 0 = never,
+    1 = always, unset/auto = width-gated."""
+    v = _os.environ.get("GSEG_FASTPAD", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return w >= 2560
 
 
 def _fast_pad_fields(fields, t_steps, hp, wp):
@@ -870,7 +883,7 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
     s_rows = _pick_skip_rows(wp, h, len(ro_row), len(rw_fields), t_steps)
     hp = -(-h // s_rows) * s_rows
     nstrips = hp // s_rows
-    if _fastpad_on():
+    if _fastpad_on(w):
         allp = _fast_pad_fields(ro_row + rw_fields, t_steps, hp, wp)
         ro_pad, rw_pad = allp[:len(ro_row)], allp[len(ro_row):]
     else:
@@ -914,7 +927,7 @@ def _step_fixpoint(prepare_fn, step_fn, ro_row, rw_fields, h, w, max_passes,
         act0 = jnp.where(idle, jnp.zeros_like(act0), act0)
     st = (act0, jnp.int32(0), tuple(rw_pad))
     st = jax.lax.while_loop(cond, body, st)
-    if _fastpad_on():
+    if _fastpad_on(w):
         out = _fast_unpad_fields(list(st[2]), t_steps, h, w)
     else:
         out = [x[t_steps : t_steps + h, :w] for x in st[2]]

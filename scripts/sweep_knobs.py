@@ -45,6 +45,19 @@ CONFIGS = {
     # counting scatter (~2.8 ms @1080p in-jit) instead of the subtree
     # convergecast fixpoint (~4.2 ms floor) — probe_pieces r4 cost model.
     "peelcount": {"GSEG_PEEL_SIZES": "count"},
+    # fastpad A/B (round 5): DMA pad/unpad vs XLA pad+slice at every
+    # fixpoint entry/exit — the measured per-call floor lever.
+    "nofastpad": {"GSEG_FASTPAD": "0"},
+    # 4K pass-cost levers (round 5): probe_pieces@4K shows the two real
+    # fixpoints (compmin 23-28 ms, flood similar) dominating a 4K round;
+    # wide images are DMA-round-trip-bound per pass, so fatter strips
+    # (fewer serialized round trips; VMEM-bound at 128 rows @4K under the
+    # default budget) and more steps per pass are the candidate levers.
+    "rows160": {"GSEG_SKIP_ROWS": "160"},
+    "rows192": {"GSEG_SKIP_ROWS": "192"},
+    "tlate24": {"GSEG_T_LATE": "24"},
+    "tpeel24": {"GSEG_T_PEEL": "24"},
+    "rows160tlate24": {"GSEG_SKIP_ROWS": "160", "GSEG_T_LATE": "24"},
     # quality-mode (run with --wb16):
     "gateq16": {"GSEG_GATE_DIV_Q": "16"},
     "gateq8": {"GSEG_GATE_DIV_Q": "8"},
