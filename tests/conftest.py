@@ -28,6 +28,28 @@ from gseg_tpu.config import SegmentationConfig
 from gseg_tpu.utils.synthetic import blobs_image
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Work around a deterministic XLA:CPU compiler segfault.
+
+    The full suite crashed 4x in round 4 (+2 reproductions in round 5)
+    inside `backend_compile_and_load` while compiling
+    `segment_turbo_hierarchy`, always at the same test — but only with
+    the WHOLE suite in one process: the same test passes in isolation
+    (warm or cold persistent cache), tests/test_turbo.py alone passes,
+    the tail modules (pallas+parallel+turbo) pass, and the full suite
+    MINUS test_parallel passes (bench_out/pytest_r5*.log). The trigger
+    is cumulative in-process compiler/executable state (the 8-virtual-
+    device mesh executables of test_parallel plus everything else), not
+    any single program. Raising the stack rlimit (256 MB) did not help,
+    so it is not stack exhaustion. Dropping the accumulated executables
+    between modules removes the trigger state; compile-time cost is
+    minor because modules share few jitted programs.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def small_image():
     return blobs_image(24, 32, num_blobs=5, noise=6.0, seed=0)
