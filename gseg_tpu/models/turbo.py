@@ -1437,19 +1437,31 @@ def _final_map(gst: GossipState, st: CompactState, rm, r0, max_sweeps,
                closures=True):
     """Stage-G labels through the stage-2 root map -> final (H, W) labels.
 
-    A V-sized random gather (P[L]) costs ~7 ns/index on TPU (~60 ms @4K), so
-    instead the final label is scattered onto each component's ROOT PIXEL
-    (canonical labels: the root pixel's flat index == the component label)
-    and flooded to the rest of the component with dense min-value sweeps —
-    comp_cap scatter lanes + a few strip passes.
+    labels[p] = table[gst.L[p]] — ONE V-sized gather: gst.L[p] is the
+    component ROOT's flat pixel id (canonical labels), so a (V,) table
+    holding each root slot's final label resolves every pixel directly.
+
+    History: rounds 1-4 flooded the final label from the root pixels with
+    dense min-value sweeps instead, believing a V-gather cost ~7 ns/index
+    (~60 ms @4K). The round-5 harness audit showed that number was ~95%
+    tunnel round-trip artifact (a component-patterned V-gather measures
+    ~0.2-1 ms) while the flood itself was the real cost: 30 of 85 ms
+    @1080p — post-gate components are sponge-shaped, so the step-only
+    wavefront needed ~50+ passes (probe_stages prefix decomposition).
+    GSEG_FINAL_GATHER=0 restores the flood for A/B.
     Returns (labels, unconverged)."""
     h, w = gst.L.shape
     v = h * w
     vid2d = jnp.arange(v, dtype=jnp.int32).reshape(h, w)
-    # Root pixels seed their own label (identity covers components with no
-    # live boundary edge, which never appear in r0); r0 roots get st.fin.
+    # Root slots hold their final label (identity covers components with
+    # no live boundary edge, which never appear in r0); r0 roots get
+    # st.fin. Non-root slots are never referenced by the gather (L values
+    # are always root ids); the flood path needs them at the sentinel.
     seed = jnp.where(gst.L == vid2d, gst.L, INT32_MAX).reshape(-1)
     seed = seed.at[jnp.where(rm, r0, v)].set(st.fin, mode="drop")
+    if os.environ.get("GSEG_FINAL_GATHER", "1") != "0":
+        labels = seed[gst.L.reshape(-1)].reshape(h, w)
+        return labels, jnp.bool_(False)
     seed = seed.reshape(h, w)
     if _use_pallas():
         from ..ops.pallas import gossip as pg
@@ -1696,7 +1708,12 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
     r0_safe = jnp.where(rm, r0, v)
 
     def render_fin(fin_l):
-        seed = seed_base.at[r0_safe].set(fin_l, mode="drop").reshape(h, w)
+        seed = seed_base.at[r0_safe].set(fin_l, mode="drop")
+        if os.environ.get("GSEG_FINAL_GATHER", "1") != "0":
+            # one V-gather per level (see _final_map — the flood needed
+            # ~50+ sponge-diameter passes, the gather ~0.2-1 ms).
+            return seed[gst.L.reshape(-1)].reshape(h, w), jnp.bool_(False)
+        seed = seed.reshape(h, w)
         if _use_pallas():
             from ..ops.pallas import gossip as pg
 

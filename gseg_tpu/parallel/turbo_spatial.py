@@ -38,6 +38,7 @@ modes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -285,16 +286,23 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
     # ---- stage 2: replicated (identical deterministic compute per device).
     st = turbo._s2_stage(st, v, cfg, thresholds, nb)
 
-    # ---- final map: replicated seed, sharded flood.
+    # ---- final map: replicated (v,) root table, local V-gather (same
+    # rewrite as turbo._final_map — local L values are GLOBAL root ids,
+    # so the gather needs no halo communication at all; the flood stays
+    # under GSEG_FINAL_GATHER=0).
     vid_full = jnp.arange(v, dtype=jnp.int32).reshape(h_glob, w)
     seed = jnp.where(Lg == vid_full, Lg, INT32_MAX).reshape(-1)
     seed = seed.at[jnp.where(rm, r0, v)].set(st.fin, mode="drop")
-    seed_loc = jax.lax.dynamic_slice(
-        seed.reshape(h_glob, w), (row_off, 0), (h_loc, w)
-    )
-    labels, fm_unconv = turbo._value_flood(
-        gst.L, seed_loc, max_sweeps, comm
-    )
+    if os.environ.get("GSEG_FINAL_GATHER", "1") != "0":
+        labels = seed[gst.L.reshape(-1)].reshape(gst.L.shape)
+        fm_unconv = jnp.bool_(False)
+    else:
+        seed_loc = jax.lax.dynamic_slice(
+            seed.reshape(h_glob, w), (row_off, 0), (h_loc, w)
+        )
+        labels, fm_unconv = turbo._value_flood(
+            gst.L, seed_loc, max_sweeps, comm
+        )
     flags = st.flags | jnp.where(
         fm_unconv, jnp.int32(turbo.FLAG_GOSSIP_UNCONVERGED), jnp.int32(0)
     )
