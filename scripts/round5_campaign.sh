@@ -33,14 +33,15 @@ ckpt() {
     ckpt "r5 parity gate FAILED"; exit 1; }
   ckpt "r5 parity gate clean (fastpad + CI-fix code)"
 
-  echo "=== 2. re-measure 4K turbo under r5 code"
-  if [ ! -e bench_out/.r5_4k_quarantine_done ]; then
+  echo "=== 2. quarantine pre-r5 turbo rows (final-gather changed every"
+  echo "       turbo program; fastmst/superpixel/atomic paths untouched)"
+  if [ ! -e bench_out/.r5_quarantine_done ]; then
     python - <<'EOF'
 import json
 rows = [json.loads(l) for l in open('bench_out/perf.jsonl') if l.strip()]
 keep, moved = [], []
 for r in rows:
-    stale = (r.get('algorithm') == 'turbo' and r.get('height') == 2160)
+    stale = str(r.get('algorithm', '')).startswith('turbo')
     (moved if stale else keep).append(r)
 with open('bench_out/perf_prer5.jsonl', 'a') as f:
     for r in moved:
@@ -48,9 +49,9 @@ with open('bench_out/perf_prer5.jsonl', 'a') as f:
 with open('bench_out/perf.jsonl', 'w') as f:
     for r in keep:
         f.write(json.dumps(r) + '\n')
-print(f"moved {len(moved)} 4K turbo rows to perf_prer5.jsonl")
+print(f"moved {len(moved)} turbo rows to perf_prer5.jsonl")
 EOF
-    touch bench_out/.r5_4k_quarantine_done
+    touch bench_out/.r5_quarantine_done
   else
     echo "[quarantine] sentinel present — skip"
   fi
