@@ -398,6 +398,88 @@ def _rlist_sizes(rlist, Lnew, S_old):
     return _sum_by_label(Lr, Sr, h, w)
 
 
+def _flood_pointer(L, id_init, pass8, nbrL, rlist):
+    """Pool-level replacement for the dist-free label flood (rlist rounds).
+
+    The flood computes, per pixel, the min OLD root label over the merge
+    graph (same-old-label edges + passed hook edges) with a max id_init
+    ride. Each component contributes at most its own min edge, so the
+    cross-label merge graph is the functional hook graph {a -> S(a)} on
+    roots — cycles are length-2 only (strictly decreasing (w, eid) around
+    any longer cycle). That resolves at POOL scale in log-depth pool-sized
+    gathers instead of tens of sponge-diameter wavefront passes:
+
+      1. S(a): one dense scatter-min of the pass8 owners' partner labels
+         (pass8 is ownership-directional — only a's own min-edge pixel
+         scatters into slot a, so no cross-edge corruption);
+      2. 2-cycle break to the min endpoint + pointer doubling on the
+         rlist pool;
+      3. min old root id per hook tree (pool scatter-min);
+      4. pixels resolve with ONE V-gather each for Lnew and IDnew
+         (0.6-0.9 ns/index — round-5 corrected cost model; the old
+         ~7 ns/index belief was a harness artifact, probe_gather).
+
+    Exactness: new label = min old root id of the merged set = the flood
+    fixpoint; IDnew = max over merged set of per-old-component id_init
+    max = the flood's max ride. Returns (Lnew, IDnew, unconverged).
+    """
+    h, w = L.shape
+    v = h * w
+    cap = rlist.shape[0]
+    # 1. partner of each component's own min edge, dense -> root slots.
+    partner = jnp.full((h, w), INT32_MAX, jnp.int32)
+    for d in range(8):
+        partner = jnp.where(pass8[d], jnp.minimum(partner, nbrL[d]),
+                            partner)
+    S0 = jnp.full((v,), INT32_MAX, jnp.int32).at[L.reshape(-1)].min(
+        partner.reshape(-1), mode="drop")
+
+    # 2. pool views. Every live root is an rlist entry (overflow was
+    # flagged at build), and every S0 value is a live root id.
+    alive = rlist != INT32_MAX
+    self_id = jnp.where(alive, rlist, 0)
+    inv = jnp.zeros((v,), jnp.int32).at[
+        jnp.where(alive, rlist, v)
+    ].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    sp = S0[self_id]
+    sp = jnp.where(alive & (sp != INT32_MAX), sp, self_id)  # self if none
+    # 2-cycle break: mutual hooks keep the min endpoint as root.
+    s2 = sp[inv[sp]]
+    par = jnp.where(s2 == self_id, jnp.minimum(self_id, sp), sp)
+
+    def dbl_cond(st):
+        return st[1] & (st[2] < jnp.int32(24))
+
+    def dbl_body(st):
+        p, _, i = st
+        pn = p[inv[p]]
+        return pn, jnp.any(pn != p), i + jnp.int32(1)
+
+    par, changed, _ = jax.lax.while_loop(
+        dbl_cond, dbl_body, (par, jnp.bool_(True), jnp.int32(0))
+    )
+    unconv = changed  # 2^24 pool-pointer depth exceeded (never in practice)
+
+    # 3. min old root id per hook tree, then per-slot new label.
+    minid = jnp.full((v,), INT32_MAX, jnp.int32).at[
+        jnp.where(alive, par, v)
+    ].min(self_id, mode="drop")
+    nl = minid[par]
+    newlab_tab = jnp.zeros((v,), jnp.int32).at[
+        jnp.where(alive, rlist, v)
+    ].set(nl, mode="drop")
+
+    # 4. pixel resolution + id ride.
+    Lnew = newlab_tab[L.reshape(-1)].reshape(h, w)
+    idtab = jnp.zeros((v,), jnp.float32).at[L.reshape(-1)].max(
+        id_init.reshape(-1), mode="drop")
+    idt2 = jnp.zeros((v,), jnp.float32).at[
+        jnp.where(alive, nl, v)
+    ].max(idtab[self_id], mode="drop")
+    IDnew = idt2[Lnew.reshape(-1)].reshape(h, w)
+    return Lnew, IDnew, unconv
+
+
 def _component_sizes(L):
     """Exact per-component pixel counts for the peel rounds: one flat
     counting scatter-add keyed by label (~7 ns/pixel on v5e, diameter-
@@ -560,7 +642,14 @@ def _ground(state: GossipState, w8, eid8, vid, k, min_size, mode, max_sweeps,
 
     if sizes in ("rlist", "count", "runs"):
         # dist-free flood (the dense schemes).
-        if _use_pallas() and comm.dense:
+        if (sizes == "rlist" and comm.dense and rlist is not None
+                and os.environ.get("GSEG_FLOOD_PTR", "0") == "1"):
+            # pool pointer resolution instead of the wavefront flood
+            # (diameter-independent; see _flood_pointer). Default-off
+            # measurement knob this round.
+            Lnew, IDnew, lab_unconv = _flood_pointer(
+                L, id_init, pass8, nbrL, rlist)
+        elif _use_pallas() and comm.dense:
             from ..ops.pallas import gossip as pg
 
             Lnew, IDnew, lab_unconv, _ = pg.label_flood(
