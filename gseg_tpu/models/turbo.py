@@ -1548,7 +1548,7 @@ def _final_map(gst: GossipState, st: CompactState, rm, r0, max_sweeps,
     # are always root ids); the flood path needs them at the sentinel.
     seed = jnp.where(gst.L == vid2d, gst.L, INT32_MAX).reshape(-1)
     seed = seed.at[jnp.where(rm, r0, v)].set(st.fin, mode="drop")
-    if os.environ.get("GSEG_FINAL_GATHER", "1") != "0":
+    if os.environ.get("GSEG_FINAL_GATHER", "0") == "1":
         labels = seed[gst.L.reshape(-1)].reshape(h, w)
         return labels, jnp.bool_(False)
     seed = seed.reshape(h, w)
@@ -1798,7 +1798,7 @@ def segment_turbo_hierarchy_impl(image, cfg: SegmentationConfig,
 
     def render_fin(fin_l):
         seed = seed_base.at[r0_safe].set(fin_l, mode="drop")
-        if os.environ.get("GSEG_FINAL_GATHER", "1") != "0":
+        if os.environ.get("GSEG_FINAL_GATHER", "0") == "1":
             # one V-gather per level (see _final_map — the flood needed
             # ~50+ sponge-diameter passes, the gather ~0.2-1 ms).
             return seed[gst.L.reshape(-1)].reshape(h, w), jnp.bool_(False)

@@ -704,14 +704,14 @@ def _fast_pad_fields(fields, t_steps, hp, wp):
     """Pad k (h, w) fields to (hp + 2*t_steps, wp) — per-field fill values
     — in ONE Pallas program of HBM->HBM DMAs.
 
-    XLA's pad+slice materialization runs at ~2% of v5e HBM bandwidth and
-    dominated the per-fixpoint-call floor: a ZERO-pass label_flood call
-    measured 2.61 ms @1080p of which 2.50 ms was the 3-pad + 2-slice
-    entry/exit alone, while a real compute pass added only ~0.5 ms
-    (probe_floor, round 5). Phase 1 tiles every output with its fill
-    value from a VMEM tile; phase 2 lays the data block over it. ~3x the
-    data bytes moved (fill-over-data overlap) but at DMA speed, so the
-    call floor drops ~25x.
+    XLA's pad+slice materialization costs ~2.5 ms per 3-field fixpoint
+    entry @1080p (probe_floor r5) — far off DMA speed. v2 writes ONLY the
+    actual pad regions (top band t rows, bottom band hp-h+t rows; the
+    width pad is excluded by the gate) from a VMEM fill tile, then copies
+    the data block: fill traffic drops from full-surface to a few hundred
+    KB, so the data DMA dominates. Requires t_steps % 8 == 0 and
+    h % 8 == 0 (Mosaic DMA row-offset tiling) and w == wp (lane-aligned
+    width); otherwise falls back to the XLA pad.
 
     fields: [(x, fill), ...] with identical (h, w) shapes (mixed dtypes
     fine). Returns k arrays of (hp + 2*t_steps, wp).
@@ -721,15 +721,11 @@ def _fast_pad_fields(fields, t_steps, hp, wp):
     hpad = hp + 2 * t_steps
     if hpad == h and wp == w:
         return [x for x, _ in fields]
-    if t_steps % 8:
-        # Mosaic requires DMA slice row offsets divisible by the (8, 128)
-        # tiling; the scan-closure path (T_SCAN=4) falls back to XLA pads.
+    if t_steps % 8 or h % 8 or w != wp:
         return [_pad_field(x, f, t_steps, hp, wp) for x, f in fields]
-    nfull, rem = divmod(hpad, FASTPAD_FB)
     # fills must be PYTHON scalars: an array fill would be captured as a
     # kernel constant (pallas_call rejects those), and under an outer jit
-    # it is a Tracer that cannot be converted at all. All callers pass
-    # static fills; assert rather than silently mis-tracing.
+    # it is a Tracer that cannot be converted at all.
     for _, f in fields:
         if not isinstance(f, (int, float)):
             raise TypeError(
@@ -737,56 +733,50 @@ def _fast_pad_fields(fields, t_steps, hp, wp):
                 f"{type(f)} — pass the fill statically")
     fills = [f for _, f in fields]
     dtypes = [x.dtype for x, _ in fields]
+    bot0 = t_steps + h             # first bottom pad row
+    nbot = hpad - bot0             # bottom pad rows (hp - h + t_steps)
+    fb = max(t_steps, nbot)        # fill tile tall enough for both bands
 
     def kernel(*refs):
         in_refs = refs[:k]
         out_refs = refs[k:2 * k]
         fill_bufs = refs[2 * k:3 * k]
-        fill_sems = refs[3 * k]
+        band_sems = refs[3 * k]
         data_sems = refs[3 * k + 1]
         for j in range(k):
-            fill_bufs[j][...] = jnp.full(
-                (FASTPAD_FB, wp), fills[j], dtypes[j])
-        for j in range(k):
-            for b in range(nfull):
-                pltpu.make_async_copy(
-                    fill_bufs[j],
-                    out_refs[j].at[pl.ds(b * FASTPAD_FB, FASTPAD_FB), :],
-                    fill_sems.at[j, b],
-                ).start()
-            if rem:
-                pltpu.make_async_copy(
-                    fill_bufs[j].at[pl.ds(0, rem), :],
-                    out_refs[j].at[pl.ds(nfull * FASTPAD_FB, rem), :],
-                    fill_sems.at[j, nfull],
-                ).start()
-        for j in range(k):
-            for b in range(nfull):
-                pltpu.make_async_copy(
-                    fill_bufs[j],
-                    out_refs[j].at[pl.ds(b * FASTPAD_FB, FASTPAD_FB), :],
-                    fill_sems.at[j, b],
-                ).wait()
-            if rem:
-                pltpu.make_async_copy(
-                    fill_bufs[j].at[pl.ds(0, rem), :],
-                    out_refs[j].at[pl.ds(nfull * FASTPAD_FB, rem), :],
-                    fill_sems.at[j, nfull],
-                ).wait()
-        # phase 2: the data block over the fills (fill DMAs on this
-        # region are already waited above, so the writes are ordered).
-        for j in range(k):
-            pltpu.make_async_copy(
+            fill_bufs[j][...] = jnp.full((fb, wp), fills[j], dtypes[j])
+
+        def band_dmas(j):
+            out = []
+            if t_steps:
+                out.append(pltpu.make_async_copy(
+                    fill_bufs[j].at[pl.ds(0, t_steps), :],
+                    out_refs[j].at[pl.ds(0, t_steps), :],
+                    band_sems.at[j, 0],
+                ))
+            if nbot:
+                out.append(pltpu.make_async_copy(
+                    fill_bufs[j].at[pl.ds(0, nbot), :],
+                    out_refs[j].at[pl.ds(bot0, nbot), :],
+                    band_sems.at[j, 1],
+                ))
+            return out
+
+        def data_dma(j):
+            return pltpu.make_async_copy(
                 in_refs[j],
-                out_refs[j].at[pl.ds(t_steps, h), pl.ds(0, w)],
+                out_refs[j].at[pl.ds(t_steps, h), :],
                 data_sems.at[j],
-            ).start()
+            )
+
         for j in range(k):
-            pltpu.make_async_copy(
-                in_refs[j],
-                out_refs[j].at[pl.ds(t_steps, h), pl.ds(0, w)],
-                data_sems.at[j],
-            ).wait()
+            for c in band_dmas(j):
+                c.start()
+            data_dma(j).start()
+        for j in range(k):
+            for c in band_dmas(j):
+                c.wait()
+            data_dma(j).wait()
 
     outs = pl.pallas_call(
         kernel,
@@ -796,9 +786,9 @@ def _fast_pad_fields(fields, t_steps, hp, wp):
             jax.ShapeDtypeStruct((hpad, wp), dt) for dt in dtypes
         ],
         scratch_shapes=[
-            pltpu.VMEM((FASTPAD_FB, wp), dt) for dt in dtypes
+            pltpu.VMEM((fb, wp), dt) for dt in dtypes
         ] + [
-            pltpu.SemaphoreType.DMA((k, nfull + 1)),
+            pltpu.SemaphoreType.DMA((k, 2)),
             pltpu.SemaphoreType.DMA((k,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -813,7 +803,7 @@ def _fast_unpad_fields(fields, t_steps, h, w):
     k = len(fields)
     if fields[0].shape == (h, w) and t_steps == 0:
         return list(fields)
-    if t_steps % 8:
+    if t_steps % 8 or h % 8 or fields[0].shape[1] != w:
         return [x[t_steps:t_steps + h, :w] for x in fields]
 
     def kernel(*refs):

@@ -293,7 +293,7 @@ def _turbo_spatial_impl(image, cfg: SegmentationConfig, gossip_rounds: int,
     vid_full = jnp.arange(v, dtype=jnp.int32).reshape(h_glob, w)
     seed = jnp.where(Lg == vid_full, Lg, INT32_MAX).reshape(-1)
     seed = seed.at[jnp.where(rm, r0, v)].set(st.fin, mode="drop")
-    if os.environ.get("GSEG_FINAL_GATHER", "1") != "0":
+    if os.environ.get("GSEG_FINAL_GATHER", "0") == "1":
         labels = seed[gst.L.reshape(-1)].reshape(gst.L.shape)
         fm_unconv = jnp.bool_(False)
     else:
