@@ -476,3 +476,26 @@ def test_peel_runs_cpu_degrades_to_count(monkeypatch):
     expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
     got = np.asarray(segment_turbo(jnp.asarray(img), cfg))
     assert np.array_equal(expected, got)
+
+
+def test_flood_pointer_matches_oracle(monkeypatch):
+    """GSEG_FLOOD_PTR=1 (pool pointer-resolution instead of the rlist-round
+    wavefront flood, r5 measurement knob) must reproduce the oracle
+    partition exactly. The knob is read at trace time, so the jit caches
+    are cleared around the flip."""
+    import jax
+
+    from gseg_tpu.models import turbo as turbo_mod
+
+    cfg = SegmentationConfig(k=120.0, min_size=10)
+    img = blobs_image(40, 56, 6, 6.0, 13)
+    expected = canonical_min_labels_np(segment_boruvka_np(img, cfg))
+
+    monkeypatch.setenv("GSEG_FLOOD_PTR", "1")
+    jax.clear_caches()
+    try:
+        got = np.asarray(segment_turbo(jnp.asarray(img), cfg))
+    finally:
+        monkeypatch.delenv("GSEG_FLOOD_PTR", raising=False)
+        jax.clear_caches()
+    assert np.array_equal(expected, got)
