@@ -58,6 +58,11 @@ CONFIGS = {
     "tlate24": {"GSEG_T_LATE": "24"},
     "tpeel24": {"GSEG_T_PEEL": "24"},
     "rows160tlate24": {"GSEG_SKIP_ROWS": "160", "GSEG_T_LATE": "24"},
+    # round-5 pending protocol A/Bs (oracle-exact, CI-covered; net sign
+    # unknown on hardware under the dispatch-honest metric):
+    "floodptr": {"GSEG_FLOOD_PTR": "1"},
+    "finalgather": {"GSEG_FINAL_GATHER": "1"},
+    "floodptr_fg": {"GSEG_FLOOD_PTR": "1", "GSEG_FINAL_GATHER": "1"},
     # quality-mode (run with --wb16):
     "gateq16": {"GSEG_GATE_DIV_Q": "16"},
     "gateq8": {"GSEG_GATE_DIV_Q": "8"},
